@@ -1,0 +1,305 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.model._
+import graft.functions.GraftFunctions
+import graft.signatures.MinHasher
+import graft.verify.Lcs
+import graft.cluster.ConnectedComponents
+import graft.checkpoint.{Manifest, NoCheckpointIO, TableIO}
+
+/** The staged hash-then-group near-dup pipeline (SURVEY.md §3.4):
+  *
+  *   pages -> ST0 extract -> ST1 signatures -> ST2 candidates
+  *         -> ST3 verify -> ST4 cluster -> ST5 report
+  *
+  * Every stage is a pure DataFrame -> DataFrame function; `run` wires them
+  * through a TableIO so each stage commits atomically and resumes from its
+  * last committed snapshot (the reference's `--resume-stageN` generalized,
+  * /root/reference/src/main.rs:114-131).
+  *
+  * Scale design (100 TB):
+  *  - ST1 computes each signature once per distinct text
+  *    (`dropDuplicates(node_id)`, the hard-link-collapse analog of
+  *    /root/reference/src/file_db.rs:559-563), so exact-dup-heavy corpora
+  *    don't pay per-copy signature cost;
+  *  - ST2 groups by band key with map-side partial counting first; band-key
+  *    groups larger than `maxBandGroup` are dropped *before* any
+  *    collect_list materializes (hot-band stop-word guard, counted in
+  *    metrics) — the skew defuser for boilerplate bands;
+  *  - ST3 only ever touches candidate pairs (LSH-bounded), joining texts by
+  *    node_id; AQE handles residual skew on those joins;
+  *  - ST4 shuffles only the verified-pair edge set (tiny vs corpus);
+  *  - no stage collects unbounded data to the driver.
+  */
+object Pipeline {
+
+  final case class Result(
+      extracted: DataFrame,
+      signatures: DataFrame,
+      candidates: DataFrame,
+      verified: DataFrame,
+      clusters: DataFrame,
+      report: DataFrame,
+      metrics: Seq[StageMetrics]
+  )
+
+  // ---------------------------------------------------------------- ST0
+  /** pages(url, warc_ts, html, text, lang) ->
+    * extracted(url, warc_ts, text, lang, n_bytes, exact_hash, node_id).
+    *
+    * Text comes from the html extractor when html is present (the per-row
+    * invariant column), falling back to the provided text column. Length
+    * filter = F1 (`--min-size`/`--max-size` analog); url-exclusion = F2;
+    * null guard = S2.
+    */
+  def extract(pages: DataFrame, cfg: GraftConfig): DataFrame = {
+    val base = pages
+      .where(col("url").isNotNull && (col("html").isNotNull || col("text").isNotNull))
+      .withColumn(
+        "text",
+        when(col("html").isNotNull, GraftFunctions.extractText(col("html")))
+          .otherwise(col("text")))
+    val excluded = cfg.excludeUrlRegex match {
+      case Some(re) => base.where(!col("url").rlike(re))
+      case None     => base
+    }
+    excluded
+      .where(length(col("text")).between(cfg.minLen, cfg.maxLen))
+      .withColumn("n_bytes", octet_length(col("text")).cast("long"))
+      .withColumn("exact_hash", unhex(md5(col("text")))) // 128-bit content identity (§7.5 collision bound)
+      .withColumn("node_id", xxhash64(col("exact_hash")))
+      .select("url", "warc_ts", "text", "lang", "n_bytes", "exact_hash", "node_id")
+  }
+
+  // ---------------------------------------------------------------- ST1
+  /** One row per distinct text: (node_id, n_bytes, minhash, simhash,
+    * band_hashes). Signature computed exactly once per content (J3). */
+  def signatures(extracted: DataFrame, cfg: GraftConfig): DataFrame = {
+    extracted
+      .select("node_id", "n_bytes", "text")
+      .dropDuplicates("node_id")
+      .withColumn("sig",
+        GraftFunctions.docSignature(col("text"), cfg.shingleK, cfg.numPerm, cfg.bands, cfg.seed))
+      .select(
+        col("node_id"),
+        col("n_bytes"),
+        col("sig.minhash").as("minhash"),
+        col("sig.simhash").as("simhash"),
+        col("sig.band_hashes").as("band_hashes"))
+  }
+
+  // ---------------------------------------------------------------- ST2
+  /** LSH banding -> distinct candidate content pairs (id_a < id_b).
+    * Returns (pairs, droppedBandGroups as a 1-row DataFrame-free Long). */
+  def candidatePairs(sigs: DataFrame, cfg: GraftConfig): (DataFrame, Long) = {
+    val spark = sigs.sparkSession
+    import spark.implicits._
+
+    // band_hashes are already seeded by band index, so the hash itself is
+    // the join key; explode 32 rows per distinct doc, not 128 (numPerm).
+    val bands = sigs.select(col("node_id"), explode(col("band_hashes")).as("band_key"))
+
+    // Hot-band guard BEFORE grouping members: partial aggregation makes the
+    // count cheap; the hot key list is tiny and broadcast for an anti-join.
+    val counts = bands.groupBy("band_key").count()
+    val hotKeys = counts.where(col("count") > cfg.maxBandGroup).select("band_key", "count")
+    val hotRows = hotKeys.as[(Long, Long)].collect() // few keys by construction
+    val droppedGroups = hotRows.length.toLong
+
+    val cold =
+      if (hotRows.isEmpty) bands
+      else bands.join(broadcast(hotKeys.select("band_key")), Seq("band_key"), "left_anti")
+
+    val pairs = cold
+      .groupBy("band_key")
+      .agg(collect_list(col("node_id")).as("ids"))
+      .where(size(col("ids")) >= 2)
+      .select(col("ids"))
+      .as[Seq[Long]]
+      .flatMap { ids =>
+        // distinct+sorted so identical band membership yields identical pairs
+        val s = ids.distinct.sorted.toArray
+        for {
+          i <- 0 until s.length - 1
+          j <- i + 1 until s.length
+        } yield CandidatePair(s(i), s(j))
+      }
+      .distinct() // same pair may surface from several bands
+      .toDF("id_a", "id_b")
+
+    (pairs, droppedGroups)
+  }
+
+  // ---------------------------------------------------------------- ST3
+  /** Exact verification of candidate pairs: shingle Jaccard, SimHash
+    * Hamming, suffix-automaton LCS. Pure typed mapPartitions — no UDF.
+    * Pass rule (SURVEY.md §3.4 ST3): (J >= minJaccard OR hamming <=
+    * maxHamming) AND lcs_ratio >= minLcsRatio. */
+  def verifyPairs(
+      candidates: DataFrame,
+      contents: DataFrame, // (node_id, text) one row per distinct content
+      cfg: GraftConfig
+  ): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+
+    val a = contents.select(col("node_id").as("id_a"), col("text").as("text_a"))
+    val b = contents.select(col("node_id").as("id_b"), col("text").as("text_b"))
+    val joined = candidates
+      .join(a, "id_a")
+      .join(b, "id_b")
+      .select("id_a", "id_b", "text_a", "text_b")
+      .as[(Long, Long, String, String)]
+
+    val k = cfg.shingleK
+    val minJ = cfg.minJaccard
+    val maxH = cfg.maxHamming
+    val minL = cfg.minLcsRatio
+
+    joined.mapPartitions { it =>
+      it.map { case (idA, idB, ta, tb) =>
+        val sa = MinHasher.shingleHashes(ta, k)
+        val sb = MinHasher.shingleHashes(tb, k)
+        val j = MinHasher.jaccardSorted(sa, sb)
+        val ham = java.lang.Long.bitCount(MinHasher.simhash(sa) ^ MinHasher.simhash(sb))
+        val lcs = Lcs.lcsRatio(ta, tb)
+        val passed = (j >= minJ || ham <= maxH) && lcs >= minL
+        VerifiedPair(idA, idB, j, ham, lcs, passed)
+      }
+    }.toDF()
+  }
+
+  // ---------------------------------------------------------------- ST4
+  /** Connected components over passed pairs; every url gets a cluster_id
+    * (content nodes outside any near-dup edge cluster by exact identity).
+    * Only clusters with >= 2 member urls survive (F3), and fully-exact
+    * clusters are suppressed unless cfg.showFullyExact (F6). */
+  def cluster(extracted: DataFrame, verified: DataFrame, cfg: GraftConfig): DataFrame = {
+    val spark = extracted.sparkSession
+
+    val edges = verified.where(col("passed")).select(col("id_a"), col("id_b"))
+    val cc = ConnectedComponents.run(spark, edges, cfg.maxCcIterations)
+
+    val members = extracted
+      .join(cc, extracted("node_id") === cc("id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("node_id")))
+      .select("cluster_id", "url", "exact_hash", "node_id", "n_bytes", "warc_ts")
+
+    val wCluster = Window.partitionBy("cluster_id")
+    val wSub = Window.partitionBy("cluster_id", "node_id")
+    val wRank = Window.partitionBy("cluster_id")
+      .orderBy(col("sub_size").desc, col("url").asc)
+
+    members
+      .withColumn("n_members", count(lit(1)).over(wCluster))
+      .withColumn("n_exact_subgroups", size(collect_set(col("node_id")).over(wCluster)))
+      .withColumn("sub_size", count(lit(1)).over(wSub))
+      .where(col("n_members") >= 2) // F3 singleton suppression
+      .where(col("n_exact_subgroups") > 1 || lit(cfg.showFullyExact)) // F6
+      .withColumn("rn", row_number().over(wRank)) // A7 keeper: largest exact subgroup, tie-break min url
+      .withColumn("canonical", col("rn") === 1)
+      .drop("rn")
+  }
+
+  // ---------------------------------------------------------------- ST5
+  /** Flat cluster report with per-cluster redundant bytes
+    * (sum(n_bytes) - max(n_bytes): bytes reclaimed by keeping one copy —
+    * equals the reference's (n_subgroups-1)*size for exact groups,
+    * /root/reference/src/duplicate_group.rs:51-54). */
+  def report(clusters: DataFrame): DataFrame = {
+    val w = Window.partitionBy("cluster_id")
+    clusters
+      .withColumn("redundant_bytes", (sum(col("n_bytes")).over(w) - max(col("n_bytes")).over(w)).cast("long"))
+      .select(
+        col("cluster_id"),
+        col("url"),
+        hex(col("exact_hash")).as("exact_hash"),
+        col("canonical"),
+        col("n_members"),
+        col("n_exact_subgroups"),
+        col("redundant_bytes"))
+      .orderBy("cluster_id", "url")
+  }
+
+  /** Nested report mirroring the reference's DuplicateGroup JSON
+    * ({"duplicates":[[paths...]...],"redundant_bytes":n},
+    * /root/reference/src/duplicate_group.rs:21-25,143-146): outer array =
+    * exact subgroups (distinct contents), inner = urls of identical text. */
+  def reportNested(clusters: DataFrame): DataFrame = {
+    clusters
+      .groupBy("cluster_id", "node_id")
+      .agg(sort_array(collect_list(col("url"))).as("urls"),
+        first(col("n_bytes")).as("sub_bytes"),
+        count(lit(1)).as("sub_count"))
+      .groupBy("cluster_id")
+      .agg(
+        sort_array(collect_list(col("urls"))).as("duplicates"),
+        (sum(col("sub_bytes") * col("sub_count")) - max(col("sub_bytes"))).cast("long").as("redundant_bytes_ub"))
+      .orderBy("cluster_id")
+  }
+
+  /** The `canonical_map` output (the reference's consolidation write-back,
+    * /root/reference/src/consolidation.rs:25-93, as a pure pointer table). */
+  def canonicalMap(clusters: DataFrame): DataFrame = {
+    val canon = clusters.where(col("canonical"))
+      .select(col("cluster_id"), col("url").as("canonical_url"))
+    clusters.select("cluster_id", "url")
+      .join(canon, "cluster_id")
+      .where(col("url") =!= col("canonical_url"))
+      .select("url", "canonical_url")
+  }
+
+  // ------------------------------------------------------------- runner
+  /** Run all stages through `io` with per-stage atomic commits, resume, and
+    * metrics rows. Stages already committed under the same config hash are
+    * loaded, not recomputed. */
+  def run(
+      spark: SparkSession,
+      pages: DataFrame,
+      cfg: GraftConfig,
+      io: TableIO = NoCheckpointIO
+  ): Result = {
+    val metrics = scala.collection.mutable.ArrayBuffer[StageMetrics]()
+
+    def stage(name: String, dropped: Long = 0L)(compute: => DataFrame): DataFrame = {
+      io.load(spark, name) match {
+        case Some((df, m)) =>
+          metrics += StageMetrics(name, m.snapshotId, -1, m.rowCount, m.rowCount, 0, 0, 0, m.configHash)
+          df
+        case None =>
+          val t0 = System.nanoTime()
+          val (df, m) = io.commit(compute, name)
+          val wallMs = (System.nanoTime() - t0) / 1000000
+          metrics += StageMetrics(name, m.snapshotId, -1, -1, m.rowCount, dropped, 0, wallMs, m.configHash)
+          df
+      }
+    }
+
+    val extracted = stage("st0_extracted")(extract(pages, cfg))
+    val sigs = stage("st1_signatures")(signatures(extracted, cfg))
+
+    var droppedBands = 0L
+    val candidates = stage("st2_candidates") {
+      val (p, d) = candidatePairs(sigs, cfg)
+      droppedBands = d
+      p
+    }
+
+    val contents = extracted.select("node_id", "text").dropDuplicates("node_id")
+    val verified = stage("st3_verified")(verifyPairs(candidates, contents, cfg))
+    val clusters = stage("st4_clusters")(cluster(extracted, verified, cfg))
+    val rep = stage("st5_report")(report(clusters))
+
+    // attach the hot-band drop count to st2's metrics row
+    val withDrops = metrics.map {
+      case m if m.stage == "st2_candidates" && m.wall_ms > 0 => m.copy(dropped_by_guard = droppedBands)
+      case m => m
+    }.toSeq
+
+    Result(extracted, sigs, candidates, verified, clusters, rep, withDrops)
+  }
+}

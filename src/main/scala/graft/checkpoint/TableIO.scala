@@ -1,0 +1,98 @@
+package graft.checkpoint
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Per-stage checkpoint storage with atomic manifest commits (ST* resume).
+  *
+  * Generalizes the reference's SQLite checkpoint state — nullable checksum
+  * columns whose presence means "stage completed"
+  * (/root/reference/src/file_db.rs:279-291, 375-388) — into one immutable
+  * snapshot table per stage plus a `_manifest.json` whose existence+content
+  * is the commit record. Resume = "highest stage with a committed snapshot
+  * under the current config hash", exactly generalizing the reference's
+  * `--resume-stage3/4` entry points (/root/reference/src/main.rs:114-119).
+  *
+  * The sandbox impl is Parquet + rename-based atomic manifest; on a real
+  * cluster the same interface is backed by Iceberg snapshots (commit =
+  * snapshot, configHash = snapshot property) — all resume semantics live
+  * above this trait.
+  */
+trait TableIO {
+  /** Committed snapshot for `stage` under `configHash`, if any. */
+  def load(spark: SparkSession, stage: String): Option[(DataFrame, Manifest)]
+
+  /** Atomically commit `df` as the snapshot for `stage`. Returns the
+    * re-loaded (durable) DataFrame plus the manifest written. */
+  def commit(df: DataFrame, stage: String): (DataFrame, Manifest)
+}
+
+final case class Manifest(
+    snapshotId: String,
+    configHash: String,
+    rowCount: Long,
+    stage: String
+) {
+  def toJson: String =
+    s"""{"snapshot_id": "$snapshotId", "config_hash": "$configHash", "row_count": $rowCount, "committed_at_stage": "$stage"}"""
+}
+
+object Manifest {
+  private val Field = """"(\w+)"\s*:\s*(?:"([^"]*)"|(\d+))""".r
+  def fromJson(s: String): Option[Manifest] = {
+    val kv = Field.findAllMatchIn(s).map { m =>
+      m.group(1) -> Option(m.group(2)).getOrElse(m.group(3))
+    }.toMap
+    for {
+      sid <- kv.get("snapshot_id")
+      ch <- kv.get("config_hash")
+      rc <- kv.get("row_count")
+      st <- kv.get("committed_at_stage")
+    } yield Manifest(sid, ch, rc.toLong, st)
+  }
+}
+
+/** Directory-per-stage Parquet snapshots under `root`, keyed by configHash. */
+final class ParquetSnapshotIO(root: String, configHash: String) extends TableIO {
+
+  private def stageDir(stage: String) = Paths.get(root, stage)
+  private def manifestPath(stage: String) = stageDir(stage).resolve("_manifest.json")
+
+  override def load(spark: SparkSession, stage: String): Option[(DataFrame, Manifest)] = {
+    val mp = manifestPath(stage)
+    if (!Files.exists(mp)) return None
+    Manifest.fromJson(new String(Files.readAllBytes(mp), StandardCharsets.UTF_8))
+      .filter(_.configHash == configHash) // stale-config snapshots are ignored
+      .flatMap { m =>
+        val data = stageDir(stage).resolve(m.snapshotId)
+        if (Files.exists(data)) Some((spark.read.parquet(data.toString), m))
+        else None
+      }
+  }
+
+  override def commit(df: DataFrame, stage: String): (DataFrame, Manifest) = {
+    val spark = df.sparkSession
+    val snapshotId = s"snap-$configHash"
+    val dir = stageDir(stage)
+    Files.createDirectories(dir)
+    val dataPath = dir.resolve(snapshotId)
+    df.write.mode("overwrite").parquet(dataPath.toString)
+    // row count from parquet footers only (metadata-only job)
+    val rows = spark.read.parquet(dataPath.toString).count()
+    val m = Manifest(snapshotId, configHash, rows, stage)
+    val tmp = dir.resolve(s"_manifest.json.tmp-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, m.toJson.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, manifestPath(stage), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    (spark.read.parquet(dataPath.toString), m)
+  }
+}
+
+/** No-op IO: every stage recomputes (pure in-memory pipeline runs). */
+object NoCheckpointIO extends TableIO {
+  override def load(spark: SparkSession, stage: String): Option[(DataFrame, Manifest)] = None
+  override def commit(df: DataFrame, stage: String): (DataFrame, Manifest) =
+    (df, Manifest("in-memory", "none", -1L, stage))
+}

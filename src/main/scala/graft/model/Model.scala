@@ -1,0 +1,114 @@
+package graft.model
+
+/** Pipeline configuration.
+  *
+  * Defaults mirror the reference's staged-refinement knobs re-expressed for
+  * near-dup text (reference: /root/reference/src/options.rs:38-110 size/thread
+  * defaults; /root/reference/src/process_matches.rs:35 4 KiB prefix tier).
+  *
+  * LSH s-curve with bands=32, rowsPerBand=4: threshold ~ (1/32)^(1/4) = 0.42,
+  * so at the verify threshold minJaccard=0.8 the candidate-recall is
+  * 1-(1-0.8^4)^32 ~ 1 - 5e-8.
+  */
+final case class GraftConfig(
+    shingleK: Int = 5,
+    numPerm: Int = 128,
+    bands: Int = 32,
+    minJaccard: Double = 0.8,
+    maxHamming: Int = 3,
+    /** Longest-common-substring ratio (lcs_len / min(len_a, len_b)) floor.
+      * 0.0 disables the LCS gate; it is always *computed* per verified pair. */
+    minLcsRatio: Double = 0.0,
+    /** Analog of --min-size/--max-size (reference options.rs:38-45), in chars. */
+    minLen: Int = 8,
+    maxLen: Int = 100_000_000,
+    /** Stop-band guard: band-key groups larger than this are dropped (counted
+      * in metrics). Analog of the reference's 10k batch cap
+      * (process_matches.rs:324) turned into a skew guard. */
+    maxBandGroup: Int = 2000,
+    /** Url exclusion regex (glob pre-translated on the driver). Analog of
+      * --exclude globs (reference options.rs:184-205). None = keep all. */
+    excludeUrlRegex: Option[String] = None,
+    /** Suppress clusters whose members are all exact copies of one text,
+      * unless set (analog of --show-fully-hardlinked, options.rs:55-58). */
+    showFullyExact: Boolean = true,
+    seed: Long = 42L,
+    /** Max connected-components iterations (safety bound; convergence is
+      * detected by delta=0 well before this on dup graphs). */
+    maxCcIterations: Int = 25
+) {
+  require(numPerm % bands == 0, s"numPerm=$numPerm must be divisible by bands=$bands")
+  def rowsPerBand: Int = numPerm / bands
+
+  /** Stable hash of every semantics-affecting knob; stamped into stage
+    * manifests so resume only reuses snapshots computed under the same
+    * config (analog of the reference's schema_version gate, file_db.rs:66-77). */
+  def configHash: String = {
+    val repr = productIterator.mkString("|")
+    java.lang.Long.toHexString(graft.util.Hashing.hashString(repr, 42L))
+  }
+}
+
+/** Canonical input row (shape fixed by BASELINE.json input_hint). */
+final case class Page(
+    url: String,
+    warc_ts: java.sql.Timestamp,
+    html: Array[Byte],
+    text: String,
+    lang: String
+)
+
+/** ST0 output: one row per url, with content identity. */
+final case class PageExtracted(
+    url: String,
+    warc_ts: java.sql.Timestamp,
+    text: String,
+    lang: String,
+    n_bytes: Long,
+    exact_hash: Array[Byte], // 16-byte md5 of extracted text
+    node_id: Long // xxhash64 of exact_hash: content-node key for CC
+)
+
+/** ST1 output: one row per distinct text (content node). */
+final case class DocSignature(
+    node_id: Long,
+    n_bytes: Long,
+    minhash: Array[Long],
+    simhash: Long,
+    band_hashes: Array[Long]
+)
+
+/** ST2 output: candidate content pair, id_a < id_b. */
+final case class CandidatePair(id_a: Long, id_b: Long)
+
+/** ST3 output: verified measures for a candidate pair. */
+final case class VerifiedPair(
+    id_a: Long,
+    id_b: Long,
+    jaccard: Double,
+    hamming: Int,
+    lcs_ratio: Double,
+    passed: Boolean
+)
+
+/** ST4/5 output row (flat cluster report). */
+final case class ClusterMember(
+    cluster_id: Long,
+    url: String,
+    exact_hash: Array[Byte],
+    canonical: Boolean
+)
+
+/** Per-stage metrics row (north-rule lineage requirement; generalizes the
+  * reference's atomic progress counters, process_matches.rs:85-96). */
+final case class StageMetrics(
+    stage: String,
+    snapshot_id: String,
+    partition_id: Int, // -1 = stage-level
+    rows_in: Long,
+    rows_out: Long,
+    dropped_by_guard: Long,
+    bytes: Long,
+    wall_ms: Long,
+    config_hash: String
+)

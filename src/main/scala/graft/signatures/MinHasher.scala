@@ -1,0 +1,151 @@
+package graft.signatures
+
+import graft.util.Hashing
+
+/** Pure signature kernels (ST1). Deterministic functions of (text, config) —
+  * no state, no clock — so signatures are invariant under row order and
+  * partitioning (tested at local[2] vs local[8]).
+  *
+  * Role analog: the reference's cheap-probabilistic-filter tier
+  * (4 KiB prefix blake3, /root/reference/src/process_matches.rs:35,255-264)
+  * generalized to near-dup text: k-token-shingle set -> MinHash signature ->
+  * LSH band keys, plus a SimHash fingerprint for a Hamming-distance check.
+  */
+object MinHasher {
+
+  final val ShingleSeed = 0x5ca1ab1eL
+  final val TokenSeed = 0x7ea7L
+
+  /** Distinct hashes of k-token shingles, sorted ascending (a set).
+    * Tokens are maximal runs of non-whitespace; each token is xxh64-hashed,
+    * then a shingle hash is the order-sensitive fold of its k token hashes.
+    * Texts with fewer than k tokens contribute a single whole-text shingle
+    * so short docs still participate.
+    */
+  def shingleHashes(text: String, k: Int): Array[Long] = {
+    val tok = tokenHashes(text)
+    if (tok.length == 0) return Array(Hashing.hashString("", ShingleSeed))
+    if (tok.length < k) {
+      return Array(Hashing.hashLongs(tok, 0, tok.length, ShingleSeed))
+    }
+    val out = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i + k <= tok.length) {
+      out.add(Hashing.hashLongs(tok, i, i + k, ShingleSeed))
+      i += 1
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    var j = 0
+    while (it.hasNext) { arr(j) = it.next(); j += 1 }
+    arr
+  }
+
+  /** xxh64 of each whitespace-separated token's UTF-8 bytes, in order. */
+  def tokenHashes(text: String): Array[Long] = {
+    val buf = new scala.collection.mutable.ArrayBuffer[Long](64)
+    val n = text.length
+    var i = 0
+    while (i < n) {
+      while (i < n && Character.isWhitespace(text.charAt(i))) i += 1
+      val start = i
+      while (i < n && !Character.isWhitespace(text.charAt(i))) i += 1
+      if (i > start) buf += Hashing.hashString(text.substring(start, i), TokenSeed)
+    }
+    buf.toArray
+  }
+
+  /** Per-permutation (a, b) parameters from SplitMix64(seed); a forced odd. */
+  def permParams(numPerm: Int, seed: Long): (Array[Long], Array[Long]) = {
+    val a = new Array[Long](numPerm)
+    val b = new Array[Long](numPerm)
+    var s = seed
+    var i = 0
+    while (i < numPerm) {
+      s += 1; a(i) = Hashing.splitMix64(s) | 1L
+      s += 1; b(i) = Hashing.splitMix64(s)
+      i += 1
+    }
+    (a, b)
+  }
+
+  /** MinHash signature: sig(i) = min over shingles s of (a_i*s + b_i),
+    * unsigned 64-bit comparison. */
+  def minhash(shingles: Array[Long], a: Array[Long], b: Array[Long]): Array[Long] = {
+    val p = a.length
+    val sig = new Array[Long](p)
+    var i = 0
+    while (i < p) {
+      val ai = a(i); val bi = b(i)
+      var best = -1L // unsigned max
+      var j = 0
+      while (j < shingles.length) {
+        val h = ai * shingles(j) + bi
+        if (java.lang.Long.compareUnsigned(h, best) < 0) best = h
+        j += 1
+      }
+      sig(i) = best
+      i += 1
+    }
+    sig
+  }
+
+  /** 64-bit SimHash: unweighted bit-vote over the distinct shingle hashes.
+    * Bit j of the result is 1 iff more shingles have bit j set than not;
+    * exact ties resolve to 0 (deterministic). */
+  def simhash(shingles: Array[Long]): Long = {
+    val votes = new Array[Int](64)
+    var j = 0
+    while (j < shingles.length) {
+      val h = shingles(j)
+      var bit = 0
+      while (bit < 64) {
+        if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
+        bit += 1
+      }
+      j += 1
+    }
+    var out = 0L
+    var bit = 0
+    while (bit < 64) {
+      if (votes(bit) > 0) out |= (1L << bit)
+      bit += 1
+    }
+    out
+  }
+
+  /** One 64-bit key per LSH band: fold of the band's rows, seeded by the
+    * band index so identical row-slices in different bands cannot collide
+    * into one join key. */
+  def bandHashes(sig: Array[Long], bands: Int): Array[Long] = {
+    val rows = sig.length / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      out(b) = Hashing.hashLongs(sig, b * rows, (b + 1) * rows, seed = 0x9e3779b9L + b)
+      b += 1
+    }
+    out
+  }
+
+  /** Exact Jaccard of two sorted distinct hash arrays (merge scan). */
+  def jaccardSorted(a: Array[Long], b: Array[Long]): Double = {
+    var i = 0; var j = 0; var inter = 0L
+    while (i < a.length && j < b.length) {
+      val c = java.lang.Long.compare(a(i), b(j))
+      if (c == 0) { inter += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    val union = a.length.toLong + b.length - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+
+  /** MinHash Jaccard estimate (fraction of agreeing signature positions). */
+  def estimateJaccard(sigA: Array[Long], sigB: Array[Long]): Double = {
+    var agree = 0
+    var i = 0
+    while (i < sigA.length) { if (sigA(i) == sigB(i)) agree += 1; i += 1 }
+    agree.toDouble / sigA.length
+  }
+}

@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+package graftshim
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Minimal bridge to the (private[sql]) Expression <-> Column converters so
+  * graft's custom Catalyst expressions can be used as ordinary Columns.
+  * This is the only file that lives outside the graft package.
+  */
+object ColumnShim {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -1,0 +1,59 @@
+package graft
+
+import graft.cluster.ConnectedComponents
+
+class ConnectedComponentsSpec extends SparkSpec {
+
+  private def bfsComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val adj = scala.collection.mutable.Map[Long, List[Long]]().withDefaultValue(Nil)
+    edges.foreach { case (a, b) => adj(a) = b :: adj(a); adj(b) = a :: adj(b) }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val label = scala.collection.mutable.Map[Long, Long]()
+    nodes.sorted.foreach { n =>
+      if (!label.contains(n)) {
+        val queue = scala.collection.mutable.Queue(n)
+        val comp = scala.collection.mutable.ArrayBuffer[Long]()
+        while (queue.nonEmpty) {
+          val v = queue.dequeue()
+          if (!label.contains(v)) {
+            label(v) = -1; comp += v
+            adj(v).foreach(w => if (!label.contains(w)) queue.enqueue(w))
+          }
+        }
+        val m = comp.min
+        comp.foreach(v => label(v) = m)
+      }
+    }
+    label.toMap
+  }
+
+  test("matches BFS oracle on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    (1 to 5).foreach { trial =>
+      val n = 60
+      val edges = (1 to 80).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      val expected = bfsComponents(edges)
+      val got = ConnectedComponents.run(spark, edges.toDF("src", "dst"), maxIter = 50)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial $trial")
+    }
+  }
+
+  test("long chain converges (worst-case diameter)") {
+    import spark.implicits._
+    val edges = (0L until 30L).map(i => (i, i + 1))
+    val got = ConnectedComponents.run(spark, edges.toDF("src", "dst"), maxIter = 50)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.toSet == Set(0L))
+    assert(got.size == 31)
+  }
+
+  test("empty edges yield empty labels") {
+    import spark.implicits._
+    val got = ConnectedComponents.run(spark,
+      Seq.empty[(Long, Long)].toDF("src", "dst"), maxIter = 5)
+    assert(got.isEmpty)
+  }
+}

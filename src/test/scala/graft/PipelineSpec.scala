@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.fixtures.PagesGen
+import graft.model.GraftConfig
+
+/** End-to-end planted-truth gate (SURVEY.md §5.1): dup-pair recall >= 0.99,
+  * zero negative-pair violations, exclusion/length filters honored,
+  * determinism under parallelism, golden reference-shaped fixture. */
+class PipelineSpec extends SparkSpec {
+
+  private val cfg = GraftConfig(excludeUrlRegex = Some(".*/excluded/.*"))
+  private val spec = PagesGen.Spec(nUnits = 150)
+
+  private lazy val pages = PagesGen.pages(spark, spec).cache()
+
+  /** url -> cluster_id from a pipeline run. */
+  private def assignment(report: DataFrame): Map[String, Long] =
+    report.select("url", "cluster_id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  private lazy val result = Pipeline.run(spark, pages, cfg)
+  private lazy val assign = assignment(result.report)
+
+  private lazy val truth = PagesGen.truthPairs(spark, spec, cfg.shingleK, cfg.minJaccard)
+    .collect()
+    .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getDouble(3), r.getBoolean(4)))
+
+  test("dup-pair recall >= 0.99 against planted truth") {
+    val required = truth.filter(t => (t._3 == "exact" || t._3 == "near") && !t._5)
+    assert(required.nonEmpty)
+    val found = required.count(t =>
+      assign.contains(t._1) && assign.contains(t._2) && assign(t._1) == assign(t._2))
+    val recall = found.toDouble / required.length
+    info(s"recall = $recall ($found / ${required.length})")
+    assert(recall >= 0.99, s"recall $recall below 0.99")
+  }
+
+  test("no negative pair is co-clustered (precision on planted negatives)") {
+    val negatives = truth.filter(_._3 == "negative")
+    assert(negatives.nonEmpty)
+    negatives.foreach { t =>
+      val together = assign.get(t._1).exists(c => assign.get(t._2).contains(c))
+      assert(!together, s"negative pair clustered: ${t._1} ~ ${t._2} (J=${t._4})")
+    }
+  }
+
+  test("excluded urls and length outliers never appear in output") {
+    val urls = assign.keySet
+    assert(urls.nonEmpty)
+    assert(!urls.exists(_.contains("/excluded/")), "excluded url leaked into clusters")
+    // unit type 10 is the short-text outlier: its urls end in /u{i}/c0 with i%50==10
+    val shortUrls = urls.filter { u => "/u(\\d+)/".r.findFirstMatchIn(u).exists(_.group(1).toLong % 50 == 10) }
+    assert(shortUrls.isEmpty, s"short outlier leaked: $shortUrls")
+  }
+
+  test("every reported cluster has >= 2 members (singleton suppression F3)") {
+    val sizes = result.report.groupBy("cluster_id").count().collect().map(_.getLong(1))
+    assert(sizes.nonEmpty && sizes.forall(_ >= 2))
+  }
+
+  test("exactly one canonical member per cluster (A7 keeper selection)") {
+    val bad = result.report.groupBy("cluster_id")
+      .agg(sum(when(col("canonical"), 1).otherwise(0)).as("n_canon"))
+      .where(col("n_canon") =!= 1)
+    assert(bad.isEmpty)
+  }
+
+  test("cluster assignment matches truth clusters modulo relabeling") {
+    val truthMembers = PagesGen.truthClusters(spark, spec, cfg.shingleK, cfg.minJaccard)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+      .filter(t => !t._1.contains("/excluded/"))
+    // all members of one truth cluster share one found cluster
+    truthMembers.groupBy(_._2).foreach { case (tc, members) =>
+      val found = members.flatMap(m => assign.get(m._1)).distinct
+      assert(found.length == 1, s"truth cluster $tc split across $found")
+    }
+    // distinct truth clusters map to distinct found clusters
+    val mapping = truthMembers.groupBy(_._2).map { case (tc, ms) => tc -> assign(ms.head._1) }
+    assert(mapping.values.toSeq.distinct.size == mapping.size, "distinct truth clusters merged")
+  }
+
+  test("determinism: identical report under different input partitioning") {
+    val r1 = Pipeline.run(spark, pages.repartition(3), cfg).report.collect().map(_.toString).sorted
+    val r2 = Pipeline.run(spark, pages.repartition(11), cfg).report.collect().map(_.toString).sorted
+    assert(r1.sameElements(r2))
+  }
+
+  test("verified measures are sane (jaccard/hamming/lcs populated)") {
+    val rows = result.verified.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val j = r.getAs[Double]("jaccard")
+      val h = r.getAs[Int]("hamming")
+      val l = r.getAs[Double]("lcs_ratio")
+      assert(j >= 0.0 && j <= 1.0); assert(h >= 0 && h <= 64); assert(l >= 0.0 && l <= 1.0)
+    }
+    // passed pairs dominated by high jaccard
+    val passed = rows.filter(_.getAs[Boolean]("passed"))
+    assert(passed.nonEmpty)
+    assert(passed.forall(r => r.getAs[Double]("jaccard") >= 0.7))
+  }
+
+  test("fully-exact suppression flag (F6) hides exact-only clusters") {
+    val noExact = Pipeline.run(spark, pages, cfg.copy(showFullyExact = false))
+    val kept = noExact.report.select("n_exact_subgroups").distinct()
+      .collect().map(_.getInt(0))
+    assert(kept.forall(_ > 1), s"fully-exact cluster kept despite flag: ${kept.toSeq}")
+    // near-dup clusters (>=2 distinct contents) must survive
+    assert(noExact.report.count() > 0)
+  }
+
+  test("reference-shaped golden fixture: groups of 3/4/3 identical texts") {
+    import spark.implicits._
+    // mirrors /root/reference/test/example: a/a,a/b,c = "first"; b,d,f,g =
+    // "next"; h,i,j = "third" (sizes 5-6 bytes => minLen=1, like -m 1)
+    val rows = Seq(
+      ("https://ex/a/a", "first"), ("https://ex/a/b", "first"), ("https://ex/c", "first"),
+      ("https://ex/b", "next"), ("https://ex/d", "next"), ("https://ex/f", "next"), ("https://ex/g", "next"),
+      ("https://ex/h", "third"), ("https://ex/i", "third"), ("https://ex/j", "third")
+    ).map { case (u, t) =>
+      (u, new java.sql.Timestamp(0L), null.asInstanceOf[Array[Byte]], t, "en")
+    }
+    val tiny = rows.toDF("url", "warc_ts", "html", "text", "lang")
+    val r = Pipeline.run(spark, tiny, GraftConfig(minLen = 1))
+    val nested = Pipeline.reportNested(r.clusters).collect()
+    assert(nested.length == 3)
+    val groups = nested.map { row =>
+      val dups = row.getAs[scala.collection.Seq[scala.collection.Seq[String]]]("duplicates")
+      (dups.flatten.sorted.toSeq, row.getAs[Long]("redundant_bytes_ub"))
+    }.sortBy(_._1.head)
+    // group of "first" (5 bytes x 3 copies -> 10 redundant)
+    assert(groups.exists { case (urls, red) =>
+      urls == Seq("https://ex/a/a", "https://ex/a/b", "https://ex/c") && red == 10 })
+    assert(groups.exists { case (urls, red) =>
+      urls == Seq("https://ex/b", "https://ex/d", "https://ex/f", "https://ex/g") && red == 12 })
+    assert(groups.exists { case (urls, red) =>
+      urls == Seq("https://ex/h", "https://ex/i", "https://ex/j") && red == 10 })
+  }
+
+  test("mixed cluster reports exact subgroups (unit type 6)") {
+    // unit 6: base + exact copy + near copy -> one cluster, 2 exact subgroups
+    val u6 = result.report.where(col("url").rlike("/u6/")).collect()
+    assert(u6.length == 3)
+    assert(u6.map(_.getAs[Long]("cluster_id")).distinct.length == 1)
+    assert(u6.head.getAs[Int]("n_exact_subgroups") == 2)
+  }
+
+  test("metrics rows written for every stage") {
+    val stages = result.metrics.map(_.stage)
+    assert(stages.toSet == Set("st0_extracted", "st1_signatures", "st2_candidates",
+      "st3_verified", "st4_clusters", "st5_report"))
+    assert(result.metrics.forall(_.wall_ms >= 0))
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.checkpoint.{Manifest, ParquetSnapshotIO}
+import graft.fixtures.PagesGen
+import graft.model.GraftConfig
+
+/** Checkpoint/resume semantics (SURVEY.md §5.1 item 5): a stage with a
+  * committed snapshot under the current config hash is loaded, not
+  * recomputed; a config change invalidates all snapshots. */
+class ResumeSpec extends SparkSpec {
+
+  private val cfg = GraftConfig()
+  private val spec = PagesGen.Spec(nUnits = 60)
+
+  test("manifest json round-trips") {
+    val m = Manifest("snap-abc", "deadbeef", 12345L, "st2_candidates")
+    assert(Manifest.fromJson(m.toJson).contains(m))
+  }
+
+  test("second run resumes every stage from committed snapshots") {
+    val root = Files.createTempDirectory("graft-resume").toString
+    val pages = PagesGen.pages(spark, spec)
+    val io = new ParquetSnapshotIO(root, cfg.configHash)
+
+    val r1 = Pipeline.run(spark, pages, cfg, io)
+    val rep1 = r1.report.collect().map(_.toString).sorted
+    assert(r1.metrics.forall(_.wall_ms >= 0))
+
+    val io2 = new ParquetSnapshotIO(root, cfg.configHash)
+    val r2 = Pipeline.run(spark, pages, cfg, io2)
+    // loaded stages record wall_ms == 0 and rows_in == rows_out
+    assert(r2.metrics.forall(m => m.wall_ms == 0 && m.rows_in == m.rows_out),
+      s"stages not loaded: ${r2.metrics.filter(_.wall_ms > 0).map(_.stage)}")
+    val rep2 = r2.report.collect().map(_.toString).sorted
+    assert(rep1.sameElements(rep2))
+  }
+
+  test("partial checkpoint: committed prefix is loaded, suffix recomputed") {
+    val root = Files.createTempDirectory("graft-partial").toString
+    val pages = PagesGen.pages(spark, spec)
+    val io = new ParquetSnapshotIO(root, cfg.configHash)
+
+    // simulate an interrupted run that completed ST0+ST1 only
+    val extracted = Pipeline.extract(pages, cfg)
+    io.commit(extracted, "st0_extracted")
+    io.commit(Pipeline.signatures(extracted, cfg), "st1_signatures")
+
+    val r = Pipeline.run(spark, pages, cfg, io)
+    val loaded = r.metrics.filter(_.wall_ms == 0).map(_.stage).toSet
+    assert(loaded.contains("st0_extracted") && loaded.contains("st1_signatures"))
+    val computed = r.metrics.filterNot(m => loaded.contains(m.stage)).map(_.stage).toSet
+    assert(computed == Set("st2_candidates", "st3_verified", "st4_clusters", "st5_report"))
+    assert(r.report.count() > 0)
+  }
+
+  test("config change invalidates snapshots (stale-config refusal)") {
+    val root = Files.createTempDirectory("graft-stale").toString
+    val pages = PagesGen.pages(spark, spec)
+    val io = new ParquetSnapshotIO(root, cfg.configHash)
+    Pipeline.run(spark, pages, cfg, io)
+
+    val cfg2 = cfg.copy(minJaccard = 0.9)
+    assert(cfg2.configHash != cfg.configHash)
+    val io2 = new ParquetSnapshotIO(root, cfg2.configHash)
+    assert(io2.load(spark, "st0_extracted").isEmpty, "stale snapshot was loaded")
+    val r2 = Pipeline.run(spark, pages, cfg2, io2)
+    assert(r2.metrics.forall(_.stage.nonEmpty)) // recomputed fine
+  }
+}
