@@ -1,24 +1,138 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+import graft.fixtures.PagesGen
+
+/** Per-round benchmark main (driver contract): times every SparkEntry query
+  * at local[N] (N = SPARK_GRAFT_CPUS, default 32) and prints ONE JSON line.
+  *
+  * Also emits the north-rule scaling evidence: the full near-dup pipeline
+  * over an identical deterministic corpus at local[8] and local[32]
+  * (the sandbox stand-in for N- vs 4N-executor runs — no real cluster is
+  * available), reporting docs/sec at both levels and
+  * efficiency = (throughput@32 / throughput@8) / 4.
+  */
 object Bench {
+
+  private def session(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-bench-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      // dedup rows are tiny but CPU-heavy: let AQE keep small shuffles
+      // parallel instead of coalescing them to one serial partition
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64kb")
+      .config("spark.eventLog.enabled", sys.env.getOrElse("SPARK_GRAFT_EVENTLOG", "false"))
+      .config("spark.eventLog.dir", "/tmp/spark-events")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "localhost")
+      // shuffle/spill on tmpfs: the sandbox block device has erratic
+      // latency; on a real cluster this is fast local NVMe
+      .config("spark.local.dir", "/dev/shm/graft-spark-tmp")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** One timed full-pipeline run over nUnits synthetic pages (tokensScale=4:
+    * web-page-sized texts so compute dominates fixed per-job overhead) in a
+    * fresh session. A warm-up run absorbs class-load and codegen cost. */
+  private def pipelineRunOnce(spark: SparkSession, nUnits: Long): (Long, Double) = {
+    val spec = PagesGen.Spec(nUnits = nUnits, tokensScale = 4)
+    Pipeline.run(spark, PagesGen.pages(spark, spec.copy(nUnits = 60)), SparkEntry.cfg)
+      .report.count() // warm-up
+    val pages = PagesGen.pages(spark, spec)
+    val docs = pages.count()
+    val t0 = System.nanoTime()
+    Pipeline.run(spark, pages, SparkEntry.cfg).report.count()
+    (docs, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** One timed signature-stage run (ST1 only) over pre-materialized distinct
+    * contents: a pure narrow map over the MinHash/SimHash/band kernels — the
+    * dominant cluster-wide cost at 100 TB and the cleanest probe of compute
+    * scaling (no shuffle, no materialization in the timed window). */
+  private def sigRunOnce(spark: SparkSession, nUnits: Long): (Long, Double) = {
+    import org.apache.spark.sql.functions.{bit_count, col, sum}
+    val spec = PagesGen.Spec(nUnits = nUnits, tokensScale = 4)
+    val contents = Pipeline.distinctContents(
+      Pipeline.extract(PagesGen.pages(spark, spec), SparkEntry.cfg))
+      .localCheckpoint(true) // materialized before timing
+    val docs = contents.count()
+    // warm-up (JIT of the kernels)
+    Pipeline.signatures(contents.limit(2000), SparkEntry.cfg)
+      .agg(sum(bit_count(col("simhash")))).collect()
+    val t0 = System.nanoTime()
+    Pipeline.signatures(contents, SparkEntry.cfg)
+      .agg(sum(bit_count(col("simhash")))).collect() // forces the expr, no overflow
+    (docs, (System.nanoTime() - t0) / 1e9)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val scalingUnits = sys.env.getOrElse("SPARK_GRAFT_SCALE_UNITS", "40000").toLong
+    val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") == "1"
+
+    // ---- scaling evidence: same job, same input, local[N] then local[4N]
+    val levels = sys.env.getOrElse("SPARK_GRAFT_LEVELS", "8,32")
+      .split(",").map(_.trim.toInt).toSeq
+    var scalingJson = ""
+    if (doScaling) {
+      val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+      // Interleave levels across repetitions (fresh session each) and take
+      // the per-level minimum: the sandbox VM has multi-second noise
+      // episodes, and interleaving keeps one episode from biasing a level.
+      val best = scala.collection.mutable.Map[Int, Double]()
+      var docs = 0L
+      for (_ <- 1 to reps; n <- levels) {
+        val s = session(n)
+        val (d, sec) = pipelineRunOnce(s, scalingUnits)
+        s.stop()
+        docs = d
+        best(n) = math.min(best.getOrElse(n, Double.MaxValue), sec)
+      }
+      val (n0, n1) = (levels.head, levels.last)
+      val (sec0, sec1) = (best(n0), best(n1))
+      val eff = ((docs / sec1) / (docs / sec0)) / (n1.toDouble / n0)
+      val per = levels.map { n =>
+        f""""local${n}":{"sec":${best(n)}%.2f,"docs_per_sec":${docs / best(n)}%.1f}""" }.mkString(",")
+
+      // signature-stage (narrow map) scaling: interleaved, min per level
+      val sigBest = scala.collection.mutable.Map[Int, Double]()
+      var sigDocs = 0L
+      for (_ <- 1 to reps; n <- levels) {
+        val s = session(n)
+        val (d, sec) = sigRunOnce(s, scalingUnits)
+        s.stop()
+        sigDocs = d
+        sigBest(n) = math.min(sigBest.getOrElse(n, Double.MaxValue), sec)
+      }
+      val sigEff = ((sigDocs / sigBest(n1)) / (sigDocs / sigBest(n0))) / (n1.toDouble / n0)
+      val sigPer = levels.map { n =>
+        f""""local${n}":{"sec":${sigBest(n)}%.2f,"docs_per_sec":${sigDocs / sigBest(n)}%.1f}""" }.mkString(",")
+
+      scalingJson =
+        f""","scaling":{"docs":$docs,$per,"efficiency_${n0}_to_${n1}":$eff%.3f,""" +
+        f""""sig_stage":{"docs":$sigDocs,$sigPer,"efficiency_${n0}_to_${n1}":$sigEff%.3f}}"""
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // ---- per-query timings at the contract parallelism
+    val doQueries = sys.env.getOrElse("SPARK_GRAFT_QUERIES", "1") == "1"
+    val spark = session(cpus)
+    val results = (if (doQueries) SparkEntry.queries.toSeq.sortBy(_._1) else Nil)
+      .map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"$scalingJson}""")
     spark.stop()
   }
 }

@@ -75,13 +75,19 @@ object Pipeline {
       .select("url", "warc_ts", "text", "lang", "n_bytes", "exact_hash", "node_id")
   }
 
+  /** One row per distinct content: (node_id, n_bytes, text). The J3
+    * hard-link-collapse analog, shared by ST1 (signatures) and ST3 (verify
+    * text lookup) so the full-text dedup shuffle happens once. */
+  def distinctContents(extracted: DataFrame): DataFrame =
+    extracted.select("node_id", "n_bytes", "text").dropDuplicates("node_id")
+
   // ---------------------------------------------------------------- ST1
   /** One row per distinct text: (node_id, n_bytes, minhash, simhash,
-    * band_hashes). Signature computed exactly once per content (J3). */
-  def signatures(extracted: DataFrame, cfg: GraftConfig): DataFrame = {
-    extracted
+    * band_hashes). Signature computed exactly once per content (J3).
+    * Input: `distinctContents` output (already deduped by node_id). */
+  def signatures(contents: DataFrame, cfg: GraftConfig): DataFrame = {
+    contents
       .select("node_id", "n_bytes", "text")
-      .dropDuplicates("node_id")
       .withColumn("sig",
         GraftFunctions.docSignature(col("text"), cfg.shingleK, cfg.numPerm, cfg.bands, cfg.seed))
       .select(
@@ -149,10 +155,18 @@ object Pipeline {
 
     val a = contents.select(col("node_id").as("id_a"), col("text").as("text_a"))
     val b = contents.select(col("node_id").as("id_b"), col("text").as("text_b"))
+    val nPart =
+      if (cfg.verifyPartitions > 0) cfg.verifyPartitions
+      else spark.sparkContext.defaultParallelism * 2
     val joined = candidates
       .join(a, "id_a")
       .join(b, "id_b")
       .select("id_a", "id_b", "text_a", "text_b")
+      // CPU-bound stage with tiny row bytes: force core-proportional
+      // parallelism (AQE would coalesce to ~1 partition and serialize it);
+      // partitioning by id_a also co-locates each left text's pairs so the
+      // shingle memo below hits.
+      .repartition(nPart, col("id_a"))
       .as[(Long, Long, String, String)]
 
     val k = cfg.shingleK
@@ -161,11 +175,26 @@ object Pipeline {
     val minL = cfg.minLcsRatio
 
     joined.mapPartitions { it =>
+      // Per-partition memo: each distinct content is shingled/simhashed once
+      // per partition, not once per pair (the J3 compute-once discipline
+      // applied inside the verify kernel).
+      val shingleMemo = new java.util.HashMap[Long, Array[Long]]()
+      val simMemo = new java.util.HashMap[Long, java.lang.Long]()
+      def shingles(id: Long, t: String): Array[Long] = {
+        var s = shingleMemo.get(id)
+        if (s == null) { s = MinHasher.shingleHashes(t, k); shingleMemo.put(id, s) }
+        s
+      }
+      def sim(id: Long, sh: Array[Long]): Long = {
+        var v = simMemo.get(id)
+        if (v == null) { v = MinHasher.simhash(sh); simMemo.put(id, v) }
+        v
+      }
       it.map { case (idA, idB, ta, tb) =>
-        val sa = MinHasher.shingleHashes(ta, k)
-        val sb = MinHasher.shingleHashes(tb, k)
+        val sa = shingles(idA, ta)
+        val sb = shingles(idB, tb)
         val j = MinHasher.jaccardSorted(sa, sb)
-        val ham = java.lang.Long.bitCount(MinHasher.simhash(sa) ^ MinHasher.simhash(sb))
+        val ham = java.lang.Long.bitCount(sim(idA, sa) ^ sim(idB, sb))
         val lcs = Lcs.lcsRatio(ta, tb)
         val passed = (j >= minJ || ham <= maxH) && lcs >= minL
         VerifiedPair(idA, idB, j, ham, lcs, passed)
@@ -177,7 +206,15 @@ object Pipeline {
   /** Connected components over passed pairs; every url gets a cluster_id
     * (content nodes outside any near-dup edge cluster by exact identity).
     * Only clusters with >= 2 member urls survive (F3), and fully-exact
-    * clusters are suppressed unless cfg.showFullyExact (F6). */
+    * clusters are suppressed unless cfg.showFullyExact (F6).
+    *
+    * Cluster statistics and the A7 keeper are computed with two compact
+    * aggregations (per content-node, then per cluster) joined back to the
+    * member rows — not with windows: the agg tables are tiny relative to
+    * members (AQE broadcasts them), there is no per-cluster sort, and a
+    * pathologically large cluster can't create a giant sorted partition.
+    * Keeper = min over struct(-sub_size, min_url): largest exact subgroup,
+    * tie-broken by smallest url — deterministic. */
   def cluster(extracted: DataFrame, verified: DataFrame, cfg: GraftConfig): DataFrame = {
     val spark = extracted.sparkSession
 
@@ -189,31 +226,40 @@ object Pipeline {
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("node_id")))
       .select("cluster_id", "url", "exact_hash", "node_id", "n_bytes", "warc_ts")
 
-    val wCluster = Window.partitionBy("cluster_id")
-    val wSub = Window.partitionBy("cluster_id", "node_id")
-    val wRank = Window.partitionBy("cluster_id")
-      .orderBy(col("sub_size").desc, col("url").asc)
+    val nodeStats = members
+      .groupBy("cluster_id", "node_id")
+      .agg(
+        count(lit(1)).as("sub_size"),
+        min(col("url")).as("sub_min_url"),
+        first(col("n_bytes")).as("node_bytes"))
+
+    val clusterStats = nodeStats
+      .groupBy("cluster_id")
+      .agg(
+        sum(col("sub_size")).as("n_members"),
+        count(lit(1)).cast("int").as("n_exact_subgroups"),
+        min(struct((-col("sub_size")).as("neg_size"), col("sub_min_url").as("u")))
+          .getField("u").as("canonical_url"),
+        (sum(col("sub_size") * col("node_bytes")) - max(col("node_bytes")))
+          .cast("long").as("redundant_bytes"))
 
     members
-      .withColumn("n_members", count(lit(1)).over(wCluster))
-      .withColumn("n_exact_subgroups", size(collect_set(col("node_id")).over(wCluster)))
-      .withColumn("sub_size", count(lit(1)).over(wSub))
+      .join(nodeStats.select("cluster_id", "node_id", "sub_size"), Seq("cluster_id", "node_id"))
+      .join(clusterStats, Seq("cluster_id"))
       .where(col("n_members") >= 2) // F3 singleton suppression
       .where(col("n_exact_subgroups") > 1 || lit(cfg.showFullyExact)) // F6
-      .withColumn("rn", row_number().over(wRank)) // A7 keeper: largest exact subgroup, tie-break min url
-      .withColumn("canonical", col("rn") === 1)
-      .drop("rn")
+      .withColumn("canonical", col("url") === col("canonical_url")) // A7 keeper
+      .drop("canonical_url")
   }
 
   // ---------------------------------------------------------------- ST5
-  /** Flat cluster report with per-cluster redundant bytes
-    * (sum(n_bytes) - max(n_bytes): bytes reclaimed by keeping one copy —
-    * equals the reference's (n_subgroups-1)*size for exact groups,
-    * /root/reference/src/duplicate_group.rs:51-54). */
+  /** Flat cluster report; redundant_bytes (sum(n_bytes) - max(n_bytes):
+    * bytes reclaimed by keeping one copy — equals the reference's
+    * (n_subgroups-1)*size for exact groups,
+    * /root/reference/src/duplicate_group.rs:51-54) is precomputed per
+    * cluster by ST4's aggregation. */
   def report(clusters: DataFrame): DataFrame = {
-    val w = Window.partitionBy("cluster_id")
     clusters
-      .withColumn("redundant_bytes", (sum(col("n_bytes")).over(w) - max(col("n_bytes")).over(w)).cast("long"))
       .select(
         col("cluster_id"),
         col("url"),
@@ -280,7 +326,9 @@ object Pipeline {
     }
 
     val extracted = stage("st0_extracted")(extract(pages, cfg))
-    val sigs = stage("st1_signatures")(signatures(extracted, cfg))
+    // shared once: the full-text dedup shuffle feeding both ST1 and ST3
+    val contents = distinctContents(extracted).localCheckpoint(false)
+    val sigs = stage("st1_signatures")(signatures(contents, cfg))
 
     var droppedBands = 0L
     val candidates = stage("st2_candidates") {
@@ -289,7 +337,6 @@ object Pipeline {
       p
     }
 
-    val contents = extracted.select("node_id", "text").dropDuplicates("node_id")
     val verified = stage("st3_verified")(verifyPairs(candidates, contents, cfg))
     val clusters = stage("st4_clusters")(cluster(extracted, verified, cfg))
     val rep = stage("st5_report")(report(clusters))

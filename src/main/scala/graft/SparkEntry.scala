@@ -5,6 +5,9 @@ import org.apache.spark.sql.functions._
 
 import graft.fixtures.PagesGen
 import graft.model.GraftConfig
+import graft.multimodal.Multimodal
+import graft.similarity.Similarity
+import graft.text.TextAnalysis
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -114,8 +117,98 @@ object SparkEntry {
         .groupBy("n_members")
         .agg(count(lit(1)).as("n_groups"))
         .orderBy("n_members")
+    }),
+
+    // ================= similarity search (embedding ops) =================
+
+    // ---- exact cosine top-3 neighbors, quantized ranks (broadcast kNN)
+    "knn_top3" -> ((s, dir) =>
+      Similarity.knnQuantized(emb(s, dir), emb(s, dir), 3)
+        .orderBy("vec_id", "rank")),
+
+    // ---- embedding sanity stats (dims + l2 norm, integer-quantized)
+    "emb_norms" -> ((s, dir) =>
+      emb(s, dir).select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        round(sqrt(aggregate(
+          transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+          lit(0.0), (acc, x) => acc + x)) * 1e6).cast("long").as("norm_e6"))
+        .orderBy("vec_id")),
+
+    // ---- approximate variants (sign-LSH / IVF; rows-only driver check,
+    //      recall gates live in SimilaritySpec against planted truth)
+    "ann_top2" -> ((s, dir) =>
+      Similarity.annTopK(emb(s, dir), 2)
+        .select("vec_id", "neighbor_id", "rank").orderBy("vec_id", "rank")),
+    "ivf_top3" -> ((s, dir) =>
+      Similarity.ivfTopK(emb(s, dir), 3, nlist = 16, nprobe = 4)
+        .select("vec_id", "neighbor_id", "rank").orderBy("vec_id", "rank")),
+
+    // ===================== text analysis (training-data ops) =============
+
+    // ---- n-gram-heuristic language id
+    "lang_id" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+
+    // ---- quality-scoring features + composite gate (all-integer)
+    "quality" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id") +: TextAnalysis.qualityFeatures(col("text")) :+
+          TextAnalysis.qualityPass(col("text")).cast("long").as("quality_pass"): _*)
+        .orderBy("doc_id")),
+
+    // ---- BPE-ish pre-tokenizer counts
+    "bpe_token_counts" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), TextAnalysis.bpeTokenCount(col("text")))
+        .orderBy("doc_id")),
+
+    // ---- winnowing document fingerprints (rows-only; kernel gated in
+    //      TextAnalysisSpec incl. the shared-substring guarantee)
+    "winnow_fp" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), graft.functions.TextFunctions.fingerprint64(col("text")).as("fp64"))
+        .orderBy("doc_id")),
+
+    // ================ multimodal binary-column plumbing ==================
+
+    // ---- decode-stage metadata round-trip (encode on write, decode in a
+    //      narrow typed stage; oracle recomputes meta as a pure fn of doc_id)
+    "asset_meta" -> ((s, dir) =>
+      Multimodal.decodeMeta(Multimodal.assetsFromDocuments(s, dir))
+        .toDF().orderBy("asset_id")),
+
+    // ======================= relational extras ===========================
+
+    // ---- projection + regexp extract + group (host dimension, F2/X6 kin)
+    "host_stats" -> ((s, dir) =>
+      docs(s, dir)
+        .select(concat(lit("https://host"), pmod(col("doc_id"), lit(97)).cast("string"),
+          lit(".example/d/"), col("doc_id").cast("string"), lit("/0")).as("url"))
+        .select(regexp_extract(col("url"), "^https://([^/]+)/", 1).as("host"))
+        .groupBy("host").agg(count(lit(1)).as("cnt"))
+        .orderBy("host")),
+
+    // ---- A7 keeper selection as a window function (canonical per group)
+    "canonical_pick" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val pages = PagesGen.fromDocuments(s, dir)
+        .select(col("url"), md5(col("text")).as("h"))
+      val w = Window.partitionBy("h")
+      pages
+        .withColumn("rn", row_number().over(w.orderBy("url")))
+        .withColumn("cnt", count(lit(1)).over(w))
+        .where(col("rn") === 1 && col("cnt") > 1)
+        .select(col("h"), col("url").as("canonical_url"), col("cnt"))
+        .orderBy("h")
     })
   )
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
 
   /** DuckDB-dialect oracles over the same parquet tables in sfDir.
     * `pages` reconstruction mirrors PagesGen.fromDocuments exactly. */
@@ -164,6 +257,90 @@ object SparkEntry {
          |  GROUP BY md5(text) HAVING count(*) > 1
          |)
          |SELECT CAST(cnt AS BIGINT) AS n_members, count(*) AS n_groups
-         |FROM g GROUP BY cnt ORDER BY n_members""".stripMargin
+         |FROM g GROUP BY cnt ORDER BY n_members""".stripMargin,
+    "knn_top3" ->
+      """WITH p AS (
+        |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+        |         CAST(round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 1e6) AS BIGINT) AS sim_e6
+        |  FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id
+        |), r AS (
+        |  SELECT vec_id, neighbor_id, sim_e6,
+        |         CAST(row_number() OVER (PARTITION BY vec_id ORDER BY sim_e6 DESC, neighbor_id) AS INT) AS rank
+        |  FROM p
+        |)
+        |SELECT vec_id, neighbor_id, sim_e6, rank FROM r WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
+    "emb_norms" ->
+      """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+        |  CAST(round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))) * 1e6) AS BIGINT) AS norm_e6
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "lang_id" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS n_cjk,
+        |    length(text) AS n_chars,
+        |    len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|for|with)\b')) AS c_en,
+        |    len(regexp_extract_all(lower(text), '\b(el|la|de|que|los|una|por|con|del)\b')) AS c_es,
+        |    len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|ein|mit|von|nicht)\b')) AS c_de,
+        |    len(regexp_extract_all(lower(text), '\b(le|les|des|une|est|pour|dans|sur|pas)\b')) AS c_fr
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN n_cjk * 5 > n_chars THEN 'zh'
+        |       WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr AND c_en > 0 THEN 'en'
+        |       WHEN c_es >= c_de AND c_es >= c_fr AND c_es > 0 THEN 'es'
+        |       WHEN c_de >= c_fr AND c_de > 0 THEN 'de'
+        |       WHEN c_fr > 0 THEN 'fr'
+        |       ELSE 'und' END AS lang_pred
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "quality" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha,
+        |    CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit,
+        |    CAST(len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS BIGINT) AS n_punct,
+        |    CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS n_tokens,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|for|with)\b')) AS BIGINT) AS n_stop
+        |  FROM documents
+        |)
+        |SELECT doc_id, n_chars, n_alpha, n_digit, n_punct, n_tokens, n_stop,
+        |  CASE WHEN n_chars > 0 THEN n_alpha * 1000 // n_chars ELSE 0 END AS alpha_permille,
+        |  CASE WHEN n_tokens > 0 THEN n_stop * 1000 // n_tokens ELSE 0 END AS stop_permille,
+        |  CASE WHEN n_tokens > 0 THEN n_chars * 1000 // n_tokens ELSE 0 END AS chars_per_token_e3,
+        |  CAST(CASE WHEN n_chars >= 80
+        |        AND (CASE WHEN n_chars > 0 THEN n_alpha * 1000 // n_chars ELSE 0 END) >= 600
+        |        AND (CASE WHEN n_tokens > 0 THEN n_stop * 1000 // n_tokens ELSE 0 END) >= 10
+        |        AND (CASE WHEN n_tokens > 0 THEN n_chars * 1000 // n_tokens ELSE 0 END) <= 20000
+        |       THEN 1 ELSE 0 END AS BIGINT) AS quality_pass
+        |FROM q ORDER BY doc_id""".stripMargin,
+    "bpe_token_counts" ->
+      """SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "asset_meta" ->
+      """SELECT doc_id AS asset_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CAST(24 + octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(16 + (doc_id % 7) * 8 AS INT) AS width,
+        |  CAST(16 + (doc_id % 5) * 8 AS INT) AS height,
+        |  CAST(1 + (doc_id % 4) AS INT) AS n_frames,
+        |  CAST(CASE WHEN doc_id % 3 = 1 THEN 16000 ELSE 0 END AS INT) AS sample_rate
+        |FROM documents ORDER BY asset_id""".stripMargin,
+    "host_stats" ->
+      """SELECT regexp_extract(url, '^https://([^/]+)/', 1) AS host, count(*) AS cnt
+        |FROM (SELECT 'https://host' || CAST(doc_id % 97 AS VARCHAR) || '.example/d/' || CAST(doc_id AS VARCHAR) || '/0' AS url FROM documents)
+        |GROUP BY 1 ORDER BY host""".stripMargin,
+    "canonical_pick" ->
+      s"""WITH pages AS (
+         |  SELECT 'https://host' || CAST(doc_id % 97 AS VARCHAR) || '.example/d/' || CAST(doc_id AS VARCHAR) || '/0' AS url, text FROM documents
+         |  UNION ALL SELECT 'https://host' || CAST(doc_id % 97 AS VARCHAR) || '.example/d/' || CAST(doc_id AS VARCHAR) || '/1', text FROM documents WHERE doc_id % 10 IN (0,1)
+         |  UNION ALL SELECT 'https://host' || CAST(doc_id % 97 AS VARCHAR) || '.example/d/' || CAST(doc_id AS VARCHAR) || '/2', text FROM documents WHERE doc_id % 10 = 0
+         |  UNION ALL SELECT 'https://host' || CAST(doc_id % 97 AS VARCHAR) || '.example/d/' || CAST(doc_id AS VARCHAR) || '/3', text || ' zqnear' || CAST(doc_id AS VARCHAR) || 'x' FROM documents WHERE doc_id % 10 = 2
+         |), r AS (
+         |  SELECT md5(text) AS h, url,
+         |         row_number() OVER (PARTITION BY md5(text) ORDER BY url) AS rn,
+         |         count(*) OVER (PARTITION BY md5(text)) AS cnt
+         |  FROM pages
+         |)
+         |SELECT h, url AS canonical_url, CAST(cnt AS BIGINT) AS cnt FROM r WHERE rn = 1 AND cnt > 1 ORDER BY h""".stripMargin
   )
 }

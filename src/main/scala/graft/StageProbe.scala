@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.fixtures.PagesGen
+import graft.model.GraftConfig
+
+/** Diagnostic: per-stage wall time of the pipeline at one parallelism level.
+  * Usage: runMain graft.StageProbe <cpus> <nUnits>. Not part of the driver
+  * contract; used to locate anti-scaling stages. */
+object StageProbe {
+  def main(args: Array[String]): Unit = {
+    val cpus = if (args.length > 0) args(0).toInt else 8
+    val nUnits = if (args.length > 1) args(1).toLong else 40000L
+    val tokensScale = if (args.length > 2) args(2).toInt else 1
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      .config("spark.eventLog.enabled", sys.env.getOrElse("SPARK_GRAFT_EVENTLOG", "false"))
+      .config("spark.eventLog.dir", "/tmp/spark-events")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "localhost")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val cfg = GraftConfig()
+
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"PROBE $name%-14s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      r
+    }
+
+    // warmup
+    Pipeline.run(spark, PagesGen.pages(spark, PagesGen.Spec(60)), cfg).report.count()
+
+    val pages = PagesGen.pages(spark, PagesGen.Spec(nUnits, tokensScale = tokensScale))
+    t("gen")(pages.count())
+    val extracted = t("extract") {
+      val d = Pipeline.extract(pages, cfg).localCheckpoint(false); d.count(); d
+    }
+    val contents = t("contents") {
+      val d = Pipeline.distinctContents(extracted).localCheckpoint(false); d.count(); d
+    }
+    val sigs = t("signatures") {
+      val d = Pipeline.signatures(contents, cfg).localCheckpoint(false); d.count(); d
+    }
+    val candidates = t("candidates") {
+      val (p, _) = Pipeline.candidatePairs(sigs, cfg)
+      val d = p.localCheckpoint(false); d.count(); d
+    }
+    val verified = t("verify") {
+      val d = Pipeline.verifyPairs(candidates, contents, cfg).localCheckpoint(false); d.count(); d
+    }
+    val clusters = t("cluster") {
+      val d = Pipeline.cluster(extracted, verified, cfg).localCheckpoint(false); d.count(); d
+    }
+    t("report")(Pipeline.report(clusters).count())
+    spark.stop()
+  }
+}

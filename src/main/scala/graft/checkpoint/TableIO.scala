@@ -90,9 +90,13 @@ final class ParquetSnapshotIO(root: String, configHash: String) extends TableIO 
   }
 }
 
-/** No-op IO: every stage recomputes (pure in-memory pipeline runs). */
+/** In-memory IO: nothing is durable, but each stage is lazily
+  * local-checkpointed so downstream stages that branch from it (e.g. ST1
+  * signatures and ST3 contents both read ST0) share one materialization
+  * instead of recomputing the lineage per branch — the in-memory analog of
+  * the durable per-stage snapshot. */
 object NoCheckpointIO extends TableIO {
   override def load(spark: SparkSession, stage: String): Option[(DataFrame, Manifest)] = None
   override def commit(df: DataFrame, stage: String): (DataFrame, Manifest) =
-    (df, Manifest("in-memory", "none", -1L, stage))
+    (df.localCheckpoint(false), Manifest("in-memory", "none", -1L, stage))
 }

@@ -31,7 +31,9 @@ import graft.util.Hashing
   */
 object PagesGen {
 
-  final case class Spec(nUnits: Long, seed: Long = 42L)
+  /** tokensScale multiplies per-unit text length (benchmark knob: raises
+    * compute density without changing planted-truth semantics; tests use 1). */
+  final case class Spec(nUnits: Long, seed: Long = 42L, tokensScale: Int = 1)
 
   final case class GenPage(
       unit: Long, url: String, warc_ts: Timestamp, html: Array[Byte],
@@ -92,9 +94,9 @@ object PagesGen {
 
   // --------------------------------------------------------- unit -> rows
   /** All texts of a unit, as (copyTag, text, excluded). Pure in (i, seed). */
-  private[fixtures] def unitTexts(i: Long, seed: Long): Seq[(String, String, Boolean)] = {
+  private[fixtures] def unitTexts(i: Long, seed: Long, tokensScale: Int = 1): Seq[(String, String, Boolean)] = {
     val rng = new Rng(seed ^ (i * 0x9e3779b97f4a7c15L) ^ 0x5eedL)
-    val n = 120 + rng.nextInt(180)
+    val n = (120 + rng.nextInt(180)) * tokensScale
     val base = baseTokens(rng, n)
     val t = base.mkString(" ")
 
@@ -137,8 +139,8 @@ object PagesGen {
     s"https://$host/$dir/u$i/$tag"
   }
 
-  def genUnit(i: Long, seed: Long): Seq[GenPage] = {
-    unitTexts(i, seed).zipWithIndex.map { case ((tag, text, excluded), c) =>
+  def genUnit(i: Long, seed: Long, tokensScale: Int = 1): Seq[GenPage] = {
+    unitTexts(i, seed, tokensScale).zipWithIndex.map { case ((tag, text, excluded), c) =>
       val host = s"host${Math.floorMod(i, 97L)}.example"
       val url = urlFor(i, tag, excluded)
       val ts = new Timestamp(EpochMs + (i * 13 + c) * 3600000L)
@@ -201,8 +203,9 @@ object PagesGen {
   def pages(spark: SparkSession, spec: Spec): DataFrame = {
     import spark.implicits._
     val seed = spec.seed
+    val scale = spec.tokensScale
     spark.range(0L, spec.nUnits)
-      .flatMap(i => genUnit(i, seed))
+      .flatMap(i => genUnit(i, seed, scale))
       .select($"url", $"warc_ts", $"html", $"text", $"lang")
   }
 

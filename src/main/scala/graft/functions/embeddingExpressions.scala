@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+import graft.similarity.EmbeddingKernels
+
+/** Custom Catalyst expressions for the embedding-similarity tier (training-
+  * data ops). Deterministic + null-intolerant like the text-signature
+  * expressions; CodegenFallback — the work is tight primitive loops over
+  * small arrays, which the interpreter dispatches once per row.
+  */
+
+/** array<double> x array<double> -> double dot product (tight loop; faster
+  * than the builtin `aggregate(zip_with(..))` lambda chain on the kNN
+  * hot path, where it runs O(n*k_candidates) times). */
+case class DotProductExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "dot_product"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    EmbeddingKernels.dot(
+      a.asInstanceOf[ArrayData].toDoubleArray(),
+      b.asInstanceOf[ArrayData].toDoubleArray())
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProductExpr =
+    copy(left = l, right = r)
+}
+
+/** array<float> -> l2-normalized array<double> (the similarity unit vector,
+  * computed once per row instead of once per candidate pair). */
+case class L2NormalizeExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "l2_normalize"
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(EmbeddingKernels.normalize(
+      input.asInstanceOf[ArrayData].toFloatArray()))
+
+  override protected def withNewChildInternal(newChild: Expression): L2NormalizeExpr =
+    copy(child = newChild)
+}
+
+/** array<float> -> array<long> of sign-LSH band bucket keys (random
+  * hyperplane LSH, Charikar 2002). Same key shape as the MinHash band keys
+  * so ST2's candidate-pair machinery is shared across both dedup tiers. */
+case class EmbeddingBandKeysExpr(child: Expression, bits: Int, bands: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  require(bits % bands == 0, s"bits=$bits must be divisible by bands=$bands")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "embedding_band_keys"
+
+  // Hyperplanes depend on the runtime dim; built once per (task, dim) and
+  // cached — deterministic in (dim, bits, seed), so partition-invariant.
+  @transient private var cachedDim: Int = -1
+  @transient private var cachedPlanes: Array[Array[Double]] = _
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData].toFloatArray()
+    if (cachedPlanes == null || cachedDim != v.length) {
+      cachedPlanes = EmbeddingKernels.hyperplanes(v.length, bits, seed)
+      cachedDim = v.length
+    }
+    val unit = EmbeddingKernels.normalize(v)
+    new GenericArrayData(EmbeddingKernels.signBandKeys(unit, cachedPlanes, bands))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): EmbeddingBandKeysExpr =
+    copy(child = newChild)
+}
+
+object EmbeddingFunctions {
+  import org.apache.spark.sql.graftshim.ColumnShim.{column, expression}
+
+  def dotProduct(a: Column, b: Column): Column =
+    column(DotProductExpr(expression(a), expression(b)))
+
+  def l2Normalize(v: Column): Column =
+    column(L2NormalizeExpr(expression(v)))
+
+  def embeddingBandKeys(v: Column, bits: Int, bands: Int, seed: Long): Column =
+    column(EmbeddingBandKeysExpr(expression(v), bits, bands, seed))
+}

@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.text.Fingerprint
+
+/** text -> array<long> winnowing fingerprint set (Schleimer et al. 2003).
+  * Deterministic; the copy-detection sketch tier of the text-analysis ops. */
+case class WinnowFingerprintExpr(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "winnow_fingerprint"
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(Fingerprint.fingerprints(input.asInstanceOf[UTF8String].toString, k, w))
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprintExpr =
+    copy(child = newChild)
+}
+
+/** text -> 64-bit digest of the winnowing fingerprint set. */
+case class Fingerprint64Expr(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "fingerprint64"
+
+  override def nullSafeEval(input: Any): Any =
+    Fingerprint.fingerprint64(input.asInstanceOf[UTF8String].toString, k, w)
+
+  override protected def withNewChildInternal(newChild: Expression): Fingerprint64Expr =
+    copy(child = newChild)
+}
+
+object TextFunctions {
+  import org.apache.spark.sql.graftshim.ColumnShim.{column, expression}
+
+  def winnowFingerprint(text: Column,
+      k: Int = Fingerprint.DefaultK, w: Int = Fingerprint.DefaultW): Column =
+    column(WinnowFingerprintExpr(expression(text), k, w))
+
+  def fingerprint64(text: Column,
+      k: Int = Fingerprint.DefaultK, w: Int = Fingerprint.DefaultW): Column =
+    column(Fingerprint64Expr(expression(text), k, w))
+}

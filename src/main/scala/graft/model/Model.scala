@@ -35,7 +35,12 @@ final case class GraftConfig(
     seed: Long = 42L,
     /** Max connected-components iterations (safety bound; convergence is
       * detected by delta=0 well before this on dup graphs). */
-    maxCcIterations: Int = 25
+    maxCcIterations: Int = 25,
+    /** Partition count for the ST3 verify mapPartitions (0 = 2x default
+      * parallelism). Verify is CPU-bound with tiny row bytes, so AQE's
+      * bytes-targeted coalescing would serialize it — parallelism must be
+      * proportional to cores, not data size (SURVEY.md §4.3). */
+    verifyPartitions: Int = 0
 ) {
   require(numPerm % bands == 0, s"numPerm=$numPerm must be divisible by bands=$bands")
   def rowsPerBand: Int = numPerm / bands

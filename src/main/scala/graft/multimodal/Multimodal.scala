@@ -1,0 +1,181 @@
+package graft.multimodal
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.util.Hashing
+
+/** Multimodal-column plumbing for training-data pipelines: image/audio/video
+  * as opaque `binary` payloads with typed metadata, processed by typed
+  * `mapPartitions` stages (the Scala analog of `mapInPandas` batch UDFs —
+  * one partition = one batch, schema declared by the case-class encoder).
+  *
+  * The actual media codecs are NOT in this environment, so the byte-level
+  * decode is a STUB behind `FakeCodec`: a deterministic container format
+  * (magic + typed header + body) standing in for JPEG/WAV/MP4. Everything
+  * Spark-side — schema, encoders, partitioning, batch shape, metadata
+  * round-trip — is real and tested; swapping `FakeCodec` for a real codec
+  * changes no plumbing.
+  */
+object Multimodal {
+
+  final case class Asset(asset_id: Long, kind: String, payload: Array[Byte])
+
+  final case class AssetMeta(
+      asset_id: Long, kind: String, n_bytes: Long,
+      width: Int, height: Int, n_frames: Int, sample_rate: Int)
+
+  final case class AssetFeatures(
+      asset_id: Long, kind: String,
+      histogram: Array[Long], // 16-bin body-byte histogram
+      mean_byte_e3: Long // mean body byte value x1000 (integer)
+  )
+
+  /** Deterministic fake media container: 24-byte header
+    * [magic:4][kind:1][width:4][height:4][n_frames:4][sample_rate:4][pad:3]
+    * + body bytes. Stands in for real image/audio/video encodings. */
+  object FakeCodec {
+    final val Magic = 0x47465401 // "GFT" + version 1
+    final val HeaderLen = 24
+    final val Kinds = Array("image", "audio", "video")
+
+    def kindCode(kind: String): Byte = Kinds.indexOf(kind) match {
+      case -1 => 0xff.toByte
+      case i  => i.toByte
+    }
+
+    def encode(kind: String, width: Int, height: Int, nFrames: Int,
+        sampleRate: Int, body: Array[Byte]): Array[Byte] = {
+      val buf = ByteBuffer.allocate(HeaderLen + body.length).order(ByteOrder.BIG_ENDIAN)
+      buf.putInt(Magic).put(kindCode(kind))
+        .putInt(width).putInt(height).putInt(nFrames).putInt(sampleRate)
+        .put(new Array[Byte](3))
+      buf.put(body)
+      buf.array()
+    }
+
+    /** STUB decode: parses the fake header. A real implementation would
+      * dispatch to an image/audio/video library here; payloads that do not
+      * carry the magic decode to an all-zero meta (never throws). */
+    def decodeMeta(assetId: Long, payload: Array[Byte]): AssetMeta = {
+      if (payload == null || payload.length < HeaderLen)
+        return AssetMeta(assetId, "unknown", if (payload == null) 0 else payload.length, 0, 0, 0, 0)
+      val buf = ByteBuffer.wrap(payload).order(ByteOrder.BIG_ENDIAN)
+      if (buf.getInt() != Magic)
+        return AssetMeta(assetId, "unknown", payload.length, 0, 0, 0, 0)
+      val kind = buf.get() match {
+        case b if b >= 0 && b < Kinds.length => Kinds(b)
+        case _                               => "unknown"
+      }
+      AssetMeta(assetId, kind, payload.length, buf.getInt(), buf.getInt(), buf.getInt(), buf.getInt())
+    }
+
+    def body(payload: Array[Byte]): Array[Byte] =
+      if (payload == null || payload.length <= HeaderLen) Array.empty
+      else java.util.Arrays.copyOfRange(payload, HeaderLen, payload.length)
+  }
+
+  // ------------------------------------------------------------- stages
+
+  /** Decode stage: Dataset[Asset] -> Dataset[AssetMeta], one batch per
+    * partition (narrow; no shuffle — verified by plan in tests). */
+  def decodeMeta(assets: Dataset[Asset]): Dataset[AssetMeta] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map(a => FakeCodec.decodeMeta(a.asset_id, a.payload)))
+  }
+
+  /** Feature-extract stage: 16-bin byte histogram + integer mean over the
+    * body. Deterministic stand-in for pixel/sample statistics. */
+  def extractFeatures(assets: Dataset[Asset]): Dataset[AssetFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map { a =>
+      val body = FakeCodec.body(a.payload)
+      val hist = new Array[Long](16)
+      var sum = 0L
+      var i = 0
+      while (i < body.length) {
+        val b = body(i) & 0xff
+        hist(b >>> 4) += 1
+        sum += b
+        i += 1
+      }
+      val mean = if (body.length == 0) 0L else sum * 1000L / body.length
+      AssetFeatures(a.asset_id, FakeCodec.decodeMeta(a.asset_id, a.payload).kind, hist, mean)
+    })
+  }
+
+  /** Resize stage (image STUB): keeps every (sx, sy)-th "pixel" of the body
+    * interpreted as a width x height byte raster; rewrites the header with
+    * the new dims. Real resize = same plumbing + a codec call. */
+  def resize(assets: Dataset[Asset], newWidth: Int, newHeight: Int): Dataset[Asset] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map { a =>
+      val m = FakeCodec.decodeMeta(a.asset_id, a.payload)
+      if (m.kind != "image" || m.width <= 0 || m.height <= 0) a
+      else {
+        val body = FakeCodec.body(a.payload)
+        val out = new Array[Byte](newWidth * newHeight)
+        var y = 0
+        while (y < newHeight) {
+          var x = 0
+          while (x < newWidth) {
+            val srcX = (x.toLong * m.width / newWidth).toInt
+            val srcY = (y.toLong * m.height / newHeight).toInt
+            val idx = srcY * m.width + srcX
+            out(y * newWidth + x) = if (idx < body.length) body(idx) else 0
+            x += 1
+          }
+          y += 1
+        }
+        a.copy(payload = FakeCodec.encode("image", newWidth, newHeight, m.n_frames, m.sample_rate, out))
+      }
+    })
+  }
+
+  /** Frame-sample stage (video STUB): keeps every `every`-th frame block of
+    * the body (frame size = width*height bytes), updating n_frames. */
+  def sampleFrames(assets: Dataset[Asset], every: Int): Dataset[Asset] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map { a =>
+      val m = FakeCodec.decodeMeta(a.asset_id, a.payload)
+      val frameLen = m.width * m.height
+      if (m.kind != "video" || frameLen <= 0 || m.n_frames <= 0) a
+      else {
+        val body = FakeCodec.body(a.payload)
+        val kept = (0 until m.n_frames by every).toArray
+        val out = new Array[Byte](kept.length * frameLen)
+        var j = 0
+        while (j < kept.length) {
+          val src = kept(j) * frameLen
+          val n = math.max(0, math.min(frameLen, body.length - src))
+          if (n > 0) System.arraycopy(body, src, out, j * frameLen, n)
+          j += 1
+        }
+        a.copy(payload = FakeCodec.encode("video", m.width, m.height, kept.length, m.sample_rate, out))
+      }
+    })
+  }
+
+  // ----------------------------------------------------------- fixtures
+
+  /** Deterministic assets derived from a documents table: kind, dims and
+    * body are pure functions of doc_id/text, so an ANSI-SQL oracle can
+    * recompute every metadata field without touching the payload. */
+  def assetsFromDocuments(spark: SparkSession, sfDir: String): Dataset[Asset] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val kind = FakeCodec.Kinds((id % 3).toInt)
+        val width = 16 + (id % 7).toInt * 8
+        val height = 16 + (id % 5).toInt * 8
+        val nFrames = 1 + (id % 4).toInt
+        val sampleRate = if (kind == "audio") 16000 else 0
+        val body = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        Asset(id, kind, FakeCodec.encode(kind, width, height, nFrames, sampleRate, body))
+      }
+  }
+}

@@ -28,31 +28,40 @@ object MinHasher {
     if (tok.length < k) {
       return Array(Hashing.hashLongs(tok, 0, tok.length, ShingleSeed))
     }
-    val out = new java.util.TreeSet[java.lang.Long]()
+    // primitive sort + in-place dedupe (no boxed TreeSet on the hot path)
+    val raw = new Array[Long](tok.length - k + 1)
     var i = 0
     while (i + k <= tok.length) {
-      out.add(Hashing.hashLongs(tok, i, i + k, ShingleSeed))
+      raw(i) = Hashing.hashLongs(tok, i, i + k, ShingleSeed)
       i += 1
     }
-    val arr = new Array[Long](out.size)
-    val it = out.iterator()
-    var j = 0
-    while (it.hasNext) { arr(j) = it.next(); j += 1 }
-    arr
+    java.util.Arrays.sort(raw)
+    var w = 1
+    var r = 1
+    while (r < raw.length) {
+      if (raw(r) != raw(w - 1)) { raw(w) = raw(r); w += 1 }
+      r += 1
+    }
+    if (w == raw.length) raw else java.util.Arrays.copyOf(raw, w)
   }
 
   /** xxh64 of each whitespace-separated token's UTF-8 bytes, in order. */
   def tokenHashes(text: String): Array[Long] = {
-    val buf = new scala.collection.mutable.ArrayBuffer[Long](64)
+    var arr = new Array[Long](64)
+    var m = 0
     val n = text.length
     var i = 0
     while (i < n) {
       while (i < n && Character.isWhitespace(text.charAt(i))) i += 1
       val start = i
       while (i < n && !Character.isWhitespace(text.charAt(i))) i += 1
-      if (i > start) buf += Hashing.hashString(text.substring(start, i), TokenSeed)
+      if (i > start) {
+        if (m == arr.length) arr = java.util.Arrays.copyOf(arr, m * 2)
+        arr(m) = Hashing.hashString(text.substring(start, i), TokenSeed)
+        m += 1
+      }
     }
-    buf.toArray
+    if (m == arr.length) arr else java.util.Arrays.copyOf(arr, m)
   }
 
   /** Per-permutation (a, b) parameters from SplitMix64(seed); a forced odd. */

@@ -1,0 +1,210 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.cluster.ConnectedComponents
+import graft.functions.EmbeddingFunctions._
+
+/** Similarity search + embedding-cosine near-dup over an embedding column
+  * (training-data ops; the vector analog of the MinHash/LSH text tier).
+  *
+  * Three physical strategies, cheapest-adequate wins — the staged-refinement
+  * idea of the reference applied to vectors:
+  *  - `knnBruteForce`: exact top-k, queries x broadcast(corpus). The
+  *    baseline; right answer whenever the corpus side fits in an executor
+  *    (dims * rows * 8B). At 100 TB the corpus is the big side: keep the
+  *    broadcast on whichever side is small, or go to the bucketed paths.
+  *  - `annTopK` (sign-LSH): random-hyperplane band keys -> bucket self-join.
+  *    Sub-quadratic; recall tuned by (bits, bands); hot buckets capped by
+  *    `maxBucket` exactly like the text tier's stop-band guard.
+  *  - `ivfTopK`: IVF coarse quantizer — nlist deterministic data-sampled
+  *    centroids, corpus assigned to nearest cell (1 shuffle on cell id),
+  *    queries probe `nprobe` nearest cells. The scale path: candidate count
+  *    ~ n * nprobe / nlist per query, centroid table broadcast.
+  */
+object Similarity {
+
+  /** bits = bands * rowsPerBand sign bits; maxBucket = hot-bucket guard. */
+  final case class AnnConfig(
+      bits: Int = 256,
+      bands: Int = 32,
+      seed: Long = 42L,
+      maxBucket: Int = 2000
+  ) {
+    require(bits % bands == 0, s"bits=$bits not divisible by bands=$bands")
+  }
+
+  /** Adds `unit` (l2-normalized array<double>) — computed once per row so
+    * downstream pair joins pay only a dot product per candidate. */
+  def withUnit(df: DataFrame, vecCol: String = "embedding"): DataFrame =
+    df.withColumn("unit", l2Normalize(col(vecCol)))
+
+  private def simRank(pairs: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    pairs
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("vec_id", "neighbor_id", "sim", "rank")
+  }
+
+  /** Exact cosine top-k: every `queries` row against every `corpus` row.
+    * The corpus side is broadcast — callers flip the arguments so the small
+    * side broadcasts (at web scale: queries are the small side). */
+  def knnBruteForce(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val q = withUnit(queries.select(col(idCol).as("vec_id"), col(vecCol)), vecCol)
+      .select(col("vec_id"), col("unit").as("unit_q"))
+    val c = withUnit(corpus.select(col(idCol).as("neighbor_id"), col(vecCol)), vecCol)
+      .select(col("neighbor_id"), col("unit").as("unit_c"))
+    val pairs = q.join(broadcast(c), col("vec_id") =!= col("neighbor_id"))
+      .withColumn("sim", dotProduct(col("unit_q"), col("unit_c")))
+    simRank(pairs, k)
+  }
+
+  /** Exact cosine top-k with quantized ranking: neighbors ranked by
+    * round(sim * 1e6) desc then neighbor_id — integer-stable across engines,
+    * so an ANSI-SQL oracle reproduces ranks bit-for-bit (float-hash-safe
+    * driver compare). Returns (vec_id, neighbor_id, sim_e6, rank). */
+  def knnQuantized(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val q = withUnit(queries.select(col(idCol).as("vec_id"), col(vecCol)), vecCol)
+      .select(col("vec_id"), col("unit").as("unit_q"))
+    val c = withUnit(corpus.select(col(idCol).as("neighbor_id"), col(vecCol)), vecCol)
+      .select(col("neighbor_id"), col("unit").as("unit_c"))
+    val w = Window.partitionBy("vec_id").orderBy(col("sim_e6").desc, col("neighbor_id").asc)
+    q.join(broadcast(c), col("vec_id") =!= col("neighbor_id"))
+      .withColumn("sim_e6",
+        round(dotProduct(col("unit_q"), col("unit_c")) * 1e6).cast("long"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("vec_id", "neighbor_id", "sim_e6", "rank")
+  }
+
+  /** Distinct candidate pairs (id_a < id_b) from sign-LSH buckets, with the
+    * hot-bucket guard. Returns (pairs, droppedBuckets). Mirrors the text
+    * tier's ST2 (Pipeline.candidatePairs) on vector band keys. */
+  def candidatePairs(df: DataFrame, cfg: AnnConfig,
+      idCol: String = "vec_id", vecCol: String = "embedding"): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val buckets = df.select(
+      col(idCol).as("id"),
+      explode(embeddingBandKeys(col(vecCol), cfg.bits, cfg.bands, cfg.seed)).as("bucket"))
+
+    val counts = buckets.groupBy("bucket").count()
+    val hot = counts.where(col("count") > cfg.maxBucket).select("bucket")
+    val nHot = hot.count()
+    val cold = if (nHot == 0) buckets
+      else buckets.join(broadcast(hot), Seq("bucket"), "left_anti")
+
+    val pairs = cold
+      .groupBy("bucket")
+      .agg(collect_list(col("id")).as("ids"))
+      .where(size(col("ids")) >= 2)
+      .select(col("ids"))
+      .as[Seq[Long]]
+      .flatMap { ids =>
+        val s = ids.distinct.sorted.toArray
+        for {
+          i <- 0 until s.length - 1
+          j <- i + 1 until s.length
+        } yield (s(i), s(j))
+      }
+      .distinct()
+      .toDF("id_a", "id_b")
+    (pairs, nHot)
+  }
+
+  /** Approximate cosine top-k via sign-LSH buckets (both directions of each
+    * candidate pair, exact cosine on candidates only). */
+  def annTopK(df: DataFrame, k: Int, cfg: AnnConfig = AnnConfig(),
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (pairs, _) = candidatePairs(df, cfg, idCol, vecCol)
+    val sym = pairs.select(col("id_a").as("vec_id"), col("id_b").as("neighbor_id"))
+      .union(pairs.select(col("id_b").as("vec_id"), col("id_a").as("neighbor_id")))
+
+    val units = withUnit(df.select(col(idCol).as("id"), col(vecCol)), vecCol)
+      .select(col("id"), col("unit"))
+
+    val scored = sym
+      .join(units.withColumnRenamed("id", "vec_id").withColumnRenamed("unit", "unit_q"), "vec_id")
+      .join(units.withColumnRenamed("id", "neighbor_id").withColumnRenamed("unit", "unit_c"), "neighbor_id")
+      .withColumn("sim", dotProduct(col("unit_q"), col("unit_c")))
+    simRank(scored, k)
+  }
+
+  /** IVF top-k. Deterministic coarse quantizer: the `nlist` corpus vectors
+    * with the smallest xxhash64(id) are the centroids (a seeded sample —
+    * no k-means iterations; adequate as a partitioner and fully
+    * reproducible). Corpus rows land in their nearest cell; each query
+    * probes its `nprobe` nearest cells. */
+  def ivfTopK(df: DataFrame, k: Int, nlist: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val units = withUnit(df.select(col(idCol).as("id"), col(vecCol)), vecCol)
+      .select(col("id"), col("unit"))
+
+    // nlist rows: tiny, collected once and shipped in task closures.
+    val centroids: Array[(Long, Array[Double])] = units
+      .withColumn("h", xxhash64(col("id")))
+      .orderBy("h", "id")
+      .limit(nlist)
+      .select("id", "unit")
+      .as[(Long, Array[Double])]
+      .collect()
+
+    def nearestCells(unit: Array[Double], m: Int): Seq[Long] =
+      centroids
+        .map { case (cid, cu) => (cid, EmbeddingKernels.dot(unit, cu)) }
+        .sortBy { case (cid, d) => (-d, cid) }
+        .take(m).map(_._1).toSeq
+
+    val corpus = units.as[(Long, Array[Double])]
+      .map { case (id, u) => (id, u, nearestCells(u, 1).head) }
+      .toDF("neighbor_id", "unit_c", "cell")
+
+    val queries = units.as[(Long, Array[Double])]
+      .flatMap { case (id, u) => nearestCells(u, nprobe).map(c => (id, u, c)) }
+      .toDF("vec_id", "unit_q", "cell")
+
+    val scored = queries.join(corpus, "cell")
+      .where(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("sim", dotProduct(col("unit_q"), col("unit_c")))
+      .dropDuplicates("vec_id", "neighbor_id")
+    simRank(scored, k)
+  }
+
+  /** Embedding-cosine near-dup: LSH candidates verified at `minCos`, then
+    * connected components — the vector twin of the text pipeline's
+    * ST2->ST3->ST4. Returns (vec_id, cluster_id) for clustered vectors
+    * (cluster_id = component-min id; singletons suppressed, F3). */
+  def nearDupClusters(df: DataFrame, minCos: Double, cfg: AnnConfig = AnnConfig(),
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = df.sparkSession
+    val (pairs, _) = candidatePairs(df, cfg, idCol, vecCol)
+    val units = withUnit(df.select(col(idCol).as("id"), col(vecCol)), vecCol)
+      .select(col("id"), col("unit"))
+    val edges = pairs
+      .join(units.withColumnRenamed("id", "id_a").withColumnRenamed("unit", "unit_a"), "id_a")
+      .join(units.withColumnRenamed("id", "id_b").withColumnRenamed("unit", "unit_b"), "id_b")
+      .where(dotProduct(col("unit_a"), col("unit_b")) >= minCos)
+      .select("id_a", "id_b")
+    ConnectedComponents.run(spark, edges, maxIter = 25)
+      .select(col("id").as(idCol), col("cluster_id"))
+  }
+}

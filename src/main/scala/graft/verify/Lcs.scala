@@ -30,40 +30,82 @@ object Lcs {
     lcsLength(a, b).toDouble / m
   }
 
+  /** Transitions are per-state parallel primitive arrays (chars + targets)
+    * with linear scan — states have low out-degree on natural text, and this
+    * avoids the boxed-HashMap allocation that dominated the original hot
+    * loop (verify is the pipeline's CPU-bound stage). */
   private final class SuffixAutomaton(s: String) {
     private val maxStates = 2 * s.length + 5
     private val len = new Array[Int](maxStates)
     private val link = new Array[Int](maxStates)
-    private val trans = new Array[java.util.HashMap[Character, Integer]](maxStates)
+    private val tChars = new Array[Array[Char]](maxStates)
+    private val tTo = new Array[Array[Int]](maxStates)
+    private val tN = new Array[Int](maxStates)
     private var last = 0
     private var size = 1
     link(0) = -1
-    trans(0) = new java.util.HashMap[Character, Integer]()
 
-    s.foreach(extend)
+    private def find(st: Int, c: Char): Int = {
+      val cs = tChars(st)
+      if (cs == null) return -1
+      var i = 0
+      val n = tN(st)
+      while (i < n) {
+        if (cs(i) == c) return tTo(st)(i)
+        i += 1
+      }
+      -1
+    }
+
+    private def putT(st: Int, c: Char, to: Int): Unit = {
+      val cs = tChars(st)
+      val n = tN(st)
+      var i = 0
+      while (i < n) {
+        if (cs(i) == c) { tTo(st)(i) = to; return }
+        i += 1
+      }
+      if (cs == null || n == cs.length) {
+        val newCap = if (cs == null) 4 else cs.length * 2
+        val nc = new Array[Char](newCap); val nt = new Array[Int](newCap)
+        if (cs != null) { System.arraycopy(cs, 0, nc, 0, n); System.arraycopy(tTo(st), 0, nt, 0, n) }
+        tChars(st) = nc; tTo(st) = nt
+      }
+      tChars(st)(n) = c; tTo(st)(n) = to; tN(st) = n + 1
+    }
+
+    private def copyTrans(from: Int, to: Int): Unit = {
+      val n = tN(from)
+      if (n > 0) {
+        tChars(to) = java.util.Arrays.copyOf(tChars(from), math.max(n, 4))
+        tTo(to) = java.util.Arrays.copyOf(tTo(from), math.max(n, 4))
+        tN(to) = n
+      }
+    }
+
+    { var i = 0; while (i < s.length) { extend(s.charAt(i)); i += 1 } }
 
     private def extend(c: Char): Unit = {
       val cur = size; size += 1
       len(cur) = len(last) + 1
-      trans(cur) = new java.util.HashMap[Character, Integer]()
       var p = last
-      while (p != -1 && !trans(p).containsKey(c)) {
-        trans(p).put(c, cur)
+      while (p != -1 && find(p, c) == -1) {
+        putT(p, c, cur)
         p = link(p)
       }
       if (p == -1) {
         link(cur) = 0
       } else {
-        val q = trans(p).get(c)
+        val q = find(p, c)
         if (len(p) + 1 == len(q)) {
           link(cur) = q
         } else {
           val clone = size; size += 1
           len(clone) = len(p) + 1
           link(clone) = link(q)
-          trans(clone) = new java.util.HashMap[Character, Integer](trans(q))
-          while (p != -1 && trans(p).get(c) == q) {
-            trans(p).put(c, clone)
+          copyTrans(q, clone)
+          while (p != -1 && find(p, c) == q) {
+            putT(p, c, clone)
             p = link(p)
           }
           link(q) = clone
@@ -79,11 +121,13 @@ object Lcs {
       var i = 0
       while (i < b.length) {
         val c = b.charAt(i)
-        while (v != 0 && !trans(v).containsKey(c)) {
+        var nxt = find(v, c)
+        while (v != 0 && nxt == -1) {
           v = link(v); l = len(v)
+          nxt = find(v, c)
         }
-        if (trans(v).containsKey(c)) {
-          v = trans(v).get(c); l += 1
+        if (nxt != -1) {
+          v = nxt; l += 1
         } else { // v == 0 with no transition on c: restart
           v = 0; l = 0
         }

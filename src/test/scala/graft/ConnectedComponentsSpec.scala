@@ -27,7 +27,7 @@ class ConnectedComponentsSpec extends SparkSpec {
     label.toMap
   }
 
-  test("matches BFS oracle on random graphs") {
+  test("matches BFS oracle on random graphs (local union-find path)") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)
     (1 to 5).foreach { trial =>
@@ -39,6 +39,34 @@ class ConnectedComponentsSpec extends SparkSpec {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == expected, s"trial $trial")
     }
+  }
+
+  test("matches BFS oracle on random graphs (distributed label propagation)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    (1 to 3).foreach { trial =>
+      val n = 60
+      val edges = (1 to 80).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      val expected = bfsComponents(edges)
+      val got = ConnectedComponents.run(spark, edges.toDF("src", "dst"),
+        maxIter = 50, localThreshold = 0L) // force the distributed path
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial $trial")
+    }
+  }
+
+  test("local and distributed paths agree") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val edges = (1 to 150).map(_ => (rnd.nextInt(90).toLong, rnd.nextInt(90).toLong))
+      .filter(e => e._1 != e._2)
+    val df = edges.toDF("src", "dst")
+    val local = ConnectedComponents.run(spark, df, 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val dist = ConnectedComponents.run(spark, df, 50, localThreshold = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(local == dist)
   }
 
   test("long chain converges (worst-case diameter)") {

@@ -45,7 +45,7 @@ class ResumeSpec extends SparkSpec {
     // simulate an interrupted run that completed ST0+ST1 only
     val extracted = Pipeline.extract(pages, cfg)
     io.commit(extracted, "st0_extracted")
-    io.commit(Pipeline.signatures(extracted, cfg), "st1_signatures")
+    io.commit(Pipeline.signatures(Pipeline.distinctContents(extracted), cfg), "st1_signatures")
 
     val r = Pipeline.run(spark, pages, cfg, io)
     val loaded = r.metrics.filter(_.wall_ms == 0).map(_.stage).toSet

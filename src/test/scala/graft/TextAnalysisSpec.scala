@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.{Fingerprint, TextAnalysis}
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(text: String, c: org.apache.spark.sql.Column): Any =
+    Seq(text).toDF("text").select(c).head().get(0)
+
+  test("langId picks the language with most marker hits") {
+    assert(one("The cat and the dog sat in the sun", TextAnalysis.langId(col("text"))) == "en")
+    assert(one("el perro y la casa de los amigos con una mesa", TextAnalysis.langId(col("text"))) == "es")
+    assert(one("der hund und die katze ist ein tier mit von", TextAnalysis.langId(col("text"))) == "de")
+    assert(one("le chat est dans les maisons pour une fete", TextAnalysis.langId(col("text"))) == "fr")
+    assert(one("qqq zzz xxx", TextAnalysis.langId(col("text"))) == "und")
+  }
+
+  test("langId detects CJK-dominant text as zh") {
+    assert(one("中文文本处理", TextAnalysis.langId(col("text"))) == "zh")
+    // CJK below 20% stays non-zh
+    assert(one("the the the and of to in is that 中", TextAnalysis.langId(col("text"))) == "en")
+  }
+
+  test("token counts: whitespace and BPE-ish") {
+    assert(one("a bb  ccc", TextAnalysis.wsTokenCount(col("text"))) == 3L)
+    // "don't stop-2x" -> [don]['][t][stop][-][2][x] = 7
+    assert(one("don't stop-2x", TextAnalysis.bpeTokenCount(col("text"))) == 7L)
+  }
+
+  test("quality features are exact integer counts") {
+    val row = Seq("The cat, 42 dogs!").toDF("text")
+      .select(TextAnalysis.qualityFeatures(col("text")): _*).head()
+    assert(row.getAs[Long]("n_chars") == 17L)
+    assert(row.getAs[Long]("n_alpha") == 10L) // Thecatdogs
+    assert(row.getAs[Long]("n_digit") == 2L)
+    assert(row.getAs[Long]("n_punct") == 2L) // , !
+    assert(row.getAs[Long]("n_tokens") == 4L)
+    assert(row.getAs[Long]("n_stop") == 1L) // the
+    assert(row.getAs[Long]("alpha_permille") == 10L * 1000 / 17)
+  }
+
+  test("qualityPass gates short / non-alpha / stopword-free text") {
+    val texts = Seq(
+      "The quick brown fox jumps over the lazy dog and runs off into the woods to find food for the winter", // pass
+      "short", // too short
+      "1234567890 " * 10, // no alpha
+      ("lorem ipsum dolor sit amet " * 5) + "qq" // no en stopwords
+    )
+    val got = texts.toDF("text")
+      .select(TextAnalysis.qualityPass(col("text")).as("ok")).collect().map(_.getBoolean(0))
+    assert(got.toSeq == Seq(true, false, false, false))
+  }
+
+  // ------------------------------------------------------------ fingerprints
+
+  test("winnowing guarantee: shared substring of length >= k+w-1 shares a fingerprint") {
+    val k = Fingerprint.DefaultK; val w = Fingerprint.DefaultW
+    val shared = "x" + ("abcdefgh" * 4) + "y" // len 34 >= k+w-1 = 23
+    val a = "PREFIX-ONE " + shared + " SUFFIX-A"
+    val b = "totally other beginning " + shared + " and end B"
+    val fa = Fingerprint.fingerprints(a, k, w).toSet
+    val fb = Fingerprint.fingerprints(b, k, w).toSet
+    assert(fa.intersect(fb).nonEmpty)
+  }
+
+  test("fingerprints are deterministic and discriminative") {
+    val t1 = "the quick brown fox jumps over the lazy dog"
+    val t2 = "pack my box with five dozen liquor jugs today"
+    assert(Fingerprint.fingerprints(t1).sameElements(Fingerprint.fingerprints(t1)))
+    assert(Fingerprint.fingerprint64(t1) == Fingerprint.fingerprint64(t1))
+    assert(Fingerprint.fingerprint64(t1) != Fingerprint.fingerprint64(t2))
+    assert(Fingerprint.fingerprintJaccard(
+      Fingerprint.fingerprints(t1), Fingerprint.fingerprints(t2)) < 0.2)
+  }
+
+  test("fingerprint edge cases: empty and shorter-than-k text") {
+    assert(Fingerprint.fingerprints("").isEmpty)
+    val short = Fingerprint.fingerprints("abc") // < k chars
+    assert(short.length == 1)
+  }
+
+  test("fingerprint expression matches the kernel") {
+    import graft.functions.TextFunctions._
+    val texts = Seq("the quick brown fox jumps over the lazy dog",
+      "pack my box with five dozen liquor jugs")
+    val got = texts.toDF("text")
+      .select(col("text"), fingerprint64(col("text")).as("fp"), winnowFingerprint(col("text")).as("set"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(1) == Fingerprint.fingerprint64(r.getString(0)))
+      assert(r.getSeq[Long](2).toArray.sameElements(Fingerprint.fingerprints(r.getString(0))))
+    }
+  }
+}
