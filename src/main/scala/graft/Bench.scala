@@ -101,12 +101,14 @@ object Bench {
       val per = levels.map { n =>
         f""""local${n}":{"sec":${best(n)}%.2f,"docs_per_sec":${docs / best(n)}%.1f}""" }.mkString(",")
 
-      // signature-stage (narrow map) scaling: interleaved, min per level
+      // signature-stage (narrow map) scaling: interleaved, min per level.
+      // 3x the corpus: the stage is ~6x faster than the full pipeline, so
+      // this keeps compute dominant over the fixed per-job latency.
       val sigBest = scala.collection.mutable.Map[Int, Double]()
       var sigDocs = 0L
       for (_ <- 1 to reps; n <- levels) {
         val s = session(n)
-        val (d, sec) = sigRunOnce(s, scalingUnits)
+        val (d, sec) = sigRunOnce(s, scalingUnits * 3)
         s.stop()
         sigDocs = d
         sigBest(n) = math.min(sigBest.getOrElse(n, Double.MaxValue), sec)

@@ -100,7 +100,18 @@ object Pipeline {
 
   // ---------------------------------------------------------------- ST2
   /** LSH banding -> distinct candidate content pairs (id_a < id_b).
-    * Returns (pairs, droppedBandGroups as a 1-row DataFrame-free Long). */
+    *
+    * Skew handling (north-rule salted band-key repartitioning):
+    *  - band groups <= maxBandGroup pair up directly;
+    *  - hot groups (maxBandGroup, hardMaxBandGroup] are SALTED into
+    *    ceil(size/maxBandGroup) buckets by xxh64(node_id) and pair-generated
+    *    within buckets — work stays O(size * maxBandGroup) instead of
+    *    O(size^2), at the cost of partial in-band recall (a hot-band pair
+    *    still surfaces through its other 31 bands);
+    *  - groups beyond hardMaxBandGroup are dropped, counted in metrics
+    *    (boilerplate stop-band; recall accounting stays honest, SURVEY §7.5).
+    *
+    * Returns (pairs, droppedBandGroups). */
   def candidatePairs(sigs: DataFrame, cfg: GraftConfig): (DataFrame, Long) = {
     val spark = sigs.sparkSession
     import spark.implicits._
@@ -109,20 +120,20 @@ object Pipeline {
     // the join key; explode 32 rows per distinct doc, not 128 (numPerm).
     val bands = sigs.select(col("node_id"), explode(col("band_hashes")).as("band_key"))
 
-    // Hot-band guard BEFORE grouping members: partial aggregation makes the
-    // count cheap; the hot key list is tiny and broadcast for an anti-join.
+    // Hot-band census BEFORE grouping members: partial aggregation makes the
+    // count cheap; the hot key list is tiny and broadcast.
     val counts = bands.groupBy("band_key").count()
+    val hotCap = if (cfg.saltHotBands) cfg.hardMaxBandGroup.toLong else cfg.maxBandGroup.toLong
     val hotKeys = counts.where(col("count") > cfg.maxBandGroup).select("band_key", "count")
     val hotRows = hotKeys.as[(Long, Long)].collect() // few keys by construction
-    val droppedGroups = hotRows.length.toLong
+    val droppedGroups = hotRows.count(_._2 > hotCap).toLong
+    val saltable = hotRows.filter(r => r._2 <= hotCap).toMap // band_key -> size
 
     val cold =
       if (hotRows.isEmpty) bands
       else bands.join(broadcast(hotKeys.select("band_key")), Seq("band_key"), "left_anti")
 
-    val pairs = cold
-      .groupBy("band_key")
-      .agg(collect_list(col("node_id")).as("ids"))
+    def pairsWithin(grouped: DataFrame): Dataset[CandidatePair] = grouped
       .where(size(col("ids")) >= 2)
       .select(col("ids"))
       .as[Seq[Long]]
@@ -134,10 +145,32 @@ object Pipeline {
           j <- i + 1 until s.length
         } yield CandidatePair(s(i), s(j))
       }
-      .distinct() // same pair may surface from several bands
-      .toDF("id_a", "id_b")
 
-    (pairs, droppedGroups)
+    val coldPairs = pairsWithin(
+      cold.groupBy("band_key").agg(collect_list(col("node_id")).as("ids")))
+
+    val allPairs =
+      if (saltable.isEmpty) coldPairs
+      else {
+        val saltableB = spark.sparkContext.broadcast(saltable)
+        val maxGroup = cfg.maxBandGroup
+        // salted repartition of hot bands: bucket count scales with group
+        // size so each (band, bucket) cell stays <= ~maxBandGroup members
+        val hotBands = bands.as[(Long, Long)].flatMap { case (id, key) =>
+          saltableB.value.get(key) match {
+            case Some(sz) =>
+              val buckets = ((sz + maxGroup - 1) / maxGroup).toInt
+              val b = Math.floorMod(graft.util.Hashing.hashLong(id, key), buckets.toLong)
+              Some((id, key, b))
+            case None => None
+          }
+        }.toDF("node_id", "band_key", "salt")
+        val hotPairs = pairsWithin(
+          hotBands.groupBy("band_key", "salt").agg(collect_list(col("node_id")).as("ids")))
+        coldPairs.union(hotPairs)
+      }
+
+    (allPairs.distinct().toDF("id_a", "id_b"), droppedGroups)
   }
 
   // ---------------------------------------------------------------- ST3
@@ -286,6 +319,22 @@ object Pipeline {
         sort_array(collect_list(col("urls"))).as("duplicates"),
         (sum(col("sub_bytes") * col("sub_count")) - max(col("sub_bytes"))).cast("long").as("redundant_bytes_ub"))
       .orderBy("cluster_id")
+  }
+
+  /** Reference-parity JSON lines: one object per cluster, exactly the
+    * reference's DuplicateGroup serialization shape
+    * ({"duplicates":[[urls...],...],"redundant_bytes":n},
+    * /root/reference/src/duplicate_group.rs:143-146): inner arrays = urls of
+    * byte-identical text (the hard-link-subgroup analog), outer = the
+    * cluster's distinct contents. Distributed sink: `.write.text(path)`. */
+  def referenceJson(clusters: DataFrame): Dataset[String] = {
+    val spark = clusters.sparkSession
+    import spark.implicits._
+    reportNested(clusters)
+      .select(to_json(struct(
+        col("duplicates"),
+        col("redundant_bytes_ub").as("redundant_bytes"))))
+      .as[String]
   }
 
   /** The `canonical_map` output (the reference's consolidation write-back,

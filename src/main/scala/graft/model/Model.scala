@@ -22,10 +22,19 @@ final case class GraftConfig(
     /** Analog of --min-size/--max-size (reference options.rs:38-45), in chars. */
     minLen: Int = 8,
     maxLen: Int = 100_000_000,
-    /** Stop-band guard: band-key groups larger than this are dropped (counted
-      * in metrics). Analog of the reference's 10k batch cap
-      * (process_matches.rs:324) turned into a skew guard. */
+    /** Hot-band threshold: band-key groups larger than this are salted into
+      * ceil(size/maxBandGroup) buckets and pair-generated within buckets
+      * (bounded work, partial in-band recall), instead of exploding O(n^2).
+      * Analog of the reference's 10k batch cap (process_matches.rs:324)
+      * turned into a skew guard. */
     maxBandGroup: Int = 2000,
+    /** Salt-split hot bands (north-rule salted band-key repartitioning).
+      * false = drop hot bands entirely (pure stop-band semantics). */
+    saltHotBands: Boolean = true,
+    /** Absolute cap: band groups beyond this are dropped even when salting
+      * (boilerplate bands with millions of members carry no signal; the
+      * drop is counted in metrics so recall accounting stays honest). */
+    hardMaxBandGroup: Int = 1000000,
     /** Url exclusion regex (glob pre-translated on the driver). Analog of
       * --exclude globs (reference options.rs:184-205). None = keep all. */
     excludeUrlRegex: Option[String] = None,

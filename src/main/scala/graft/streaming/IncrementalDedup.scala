@@ -1,0 +1,142 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.Pipeline
+import graft.model.GraftConfig
+
+/** Incremental near-dup detection over a stream of pages (Structured
+  * Streaming, `foreachBatch`): each micro-batch runs the batch stages on the
+  * NEW urls only, against durable state tables —
+  *
+  *   signatures(node_id, n_bytes, minhash, simhash, band_hashes)   [state]
+  *   members(url, node_id, n_bytes)                                 [state]
+  *   edges(id_a, id_b)                                              [state]
+  *   clusters(url, cluster_id, ...)                                 [output]
+  *
+  * Per batch: extract -> new distinct contents (anti-join on stored
+  * signatures) -> signatures for new contents only -> LSH candidates of
+  * (new x (new + stored)) via band-key join -> verify (new texts join the
+  * batch; stored side keeps no text, so verification uses signature-level
+  * gates: MinHash-estimated Jaccard and SimHash Hamming) -> append edges ->
+  * connected components over all edges -> rewrite clusters.
+  *
+  * This is the reference's checkpoint-resume design (nullable-checksum
+  * columns as "already computed" state, file_db.rs:375-388) turned into
+  * streaming state: presence in the signatures table == stage done for that
+  * content, forever. The bounded-channel pipeline of the reference
+  * (main.rs:145-166) maps to micro-batch backpressure.
+  *
+  * Scale notes: per-batch work is O(batch) signatures + an equi-join of the
+  * batch's band keys against the state band table (pushdown-friendly
+  * parquet; Iceberg at real scale); CC cost is bounded by the accumulated
+  * dup-edge set, not the corpus.
+  */
+object IncrementalDedup {
+
+  final case class StateDirs(root: String) {
+    val signatures = s"$root/signatures"
+    val bandIndex = s"$root/band_index"
+    val members = s"$root/members"
+    val edges = s"$root/edges"
+    val clusters = s"$root/clusters"
+    val checkpoint = s"$root/_checkpoint"
+  }
+
+  private def exists(p: String): Boolean = Files.exists(Paths.get(p))
+
+  private def readOrEmpty(spark: SparkSession, path: String, schemaOf: DataFrame): DataFrame =
+    if (exists(path)) spark.read.parquet(path)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schemaOf.schema)
+
+  /** Process one micro-batch of pages against the state under `dirs`.
+    * Exposed for testing; `start` wires it into foreachBatch. */
+  def processBatch(batch: DataFrame, cfg: GraftConfig, dirs: StateDirs): Unit = {
+    val spark = batch.sparkSession
+    if (batch.isEmpty) return
+
+    val extracted = Pipeline.extract(batch, cfg).localCheckpoint(false)
+    val newContents = Pipeline.distinctContents(extracted)
+
+    // ---- new contents = not yet in the signature state
+    val contents =
+      if (!exists(dirs.signatures)) newContents.localCheckpoint(false)
+      else newContents.join(
+        spark.read.parquet(dirs.signatures).select("node_id"),
+        Seq("node_id"), "left_anti").localCheckpoint(false)
+
+    val sigs = Pipeline.signatures(contents, cfg)
+      .localCheckpoint(false)
+
+    // ---- candidates: new-vs-new within the batch bands, plus new-vs-stored
+    // through the durable band index (band_key, node_id)
+    val newBands = sigs.select(col("node_id"), explode(col("band_hashes")).as("band_key"))
+    val storedBands = readOrEmpty(spark, dirs.bandIndex, newBands)
+    val crossPairs = newBands.as("n")
+      .join(storedBands.as("s"), col("n.band_key") === col("s.band_key"))
+      .select(
+        least(col("n.node_id"), col("s.node_id")).as("id_a"),
+        greatest(col("n.node_id"), col("s.node_id")).as("id_b"))
+      .where(col("id_a") =!= col("id_b"))
+    val (newPairs, _) = Pipeline.candidatePairs(sigs, cfg)
+    val candidates = newPairs.union(crossPairs).distinct().localCheckpoint(false)
+
+    // ---- verify at the signature level (stored texts are not retained):
+    // MinHash-estimated Jaccard over the 128-perm signatures + SimHash
+    // Hamming. Threshold on the estimate is cfg.minJaccard minus 2 sigma
+    // (sigma = sqrt(J(1-J)/numPerm)) so planted true pairs still pass.
+    val allSigs = (if (exists(dirs.signatures))
+      spark.read.parquet(dirs.signatures).unionByName(sigs) else sigs)
+      .select("node_id", "minhash", "simhash")
+    val estMin = cfg.minJaccard - 2.0 * math.sqrt(cfg.minJaccard * (1 - cfg.minJaccard) / cfg.numPerm)
+    val maxHam = cfg.maxHamming
+    import spark.implicits._
+    val a = allSigs.select(col("node_id").as("id_a"),
+      col("minhash").as("mh_a"), col("simhash").as("sh_a"))
+    val b = allSigs.select(col("node_id").as("id_b"),
+      col("minhash").as("mh_b"), col("simhash").as("sh_b"))
+    val verified = candidates.join(a, "id_a").join(b, "id_b")
+      .as[(Long, Long, Seq[Long], Long, Seq[Long], Long)]
+      .flatMap { case (idA, idB, mhA, shA, mhB, shB) =>
+        val est = graft.signatures.MinHasher.estimateJaccard(mhA.toArray, mhB.toArray)
+        val ham = java.lang.Long.bitCount(shA ^ shB)
+        if (est >= estMin || ham <= maxHam) Some((idA, idB)) else None
+      }.toDF("id_a", "id_b")
+
+    // ---- append state, recluster, rewrite output
+    val memberRows = extracted.select("url", "node_id", "n_bytes")
+    appendParquet(sigs.drop("text"), dirs.signatures)
+    appendParquet(newBands, dirs.bandIndex)
+    appendParquet(memberRows, dirs.members)
+    appendParquet(verified, dirs.edges)
+
+    val allEdges = spark.read.parquet(dirs.edges).distinct()
+    val cc = graft.cluster.ConnectedComponents.run(spark, allEdges, cfg.maxCcIterations)
+    val allMembers = spark.read.parquet(dirs.members).dropDuplicates("url")
+    val clusters = allMembers
+      .join(cc, allMembers("node_id") === cc("id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("node_id")))
+      .select("url", "node_id", "cluster_id", "n_bytes")
+    // overwrite via temp + swap-less rewrite (parquet overwrite is atomic
+    // enough for the sandbox; Iceberg snapshot commit at real scale)
+    clusters.write.mode("overwrite").parquet(dirs.clusters)
+  }
+
+  private def appendParquet(df: DataFrame, path: String): Unit =
+    df.write.mode("append").parquet(path)
+
+  /** Start the incremental query on a streaming pages DataFrame. */
+  def start(pagesStream: DataFrame, cfg: GraftConfig, stateRoot: String): StreamingQuery = {
+    val dirs = StateDirs(stateRoot)
+    pagesStream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", dirs.checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) => processBatch(batch, cfg, dirs) }
+      .start()
+  }
+}

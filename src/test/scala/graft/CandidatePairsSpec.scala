@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.model.GraftConfig
+
+/** ST2 hot-band skew handling: salted repartitioning bounds pair-generation
+  * work per band cell; the hard cap drops boilerplate mega-bands with an
+  * honest metrics count (SURVEY.md §4.3 / build-plan item 6). */
+class CandidatePairsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** n docs all sharing one band key (the planted hot band), plus a few
+    * cold 2-doc bands. */
+  private def sigs(nHot: Int): DataFrame = {
+    val hot = (0 until nHot).map(i => (i.toLong, Seq(111L)))
+    val cold = Seq((10001L, Seq(7L)), (10002L, Seq(7L)), (10003L, Seq(8L)), (10004L, Seq(8L)))
+    (hot ++ cold).toDF("node_id", "band_hashes")
+  }
+
+  test("hot band is salted into bounded buckets (work O(n*maxBandGroup), not O(n^2))") {
+    val cfg = GraftConfig(maxBandGroup = 50)
+    val (pairs, dropped) = Pipeline.candidatePairs(sigs(500), cfg)
+    val n = pairs.count()
+    assert(dropped == 0)
+    // unsalted would be C(500,2) = 124750 hot pairs; salted: ~10 buckets of
+    // ~50 -> ~ 10 * C(50,2) ~= 12k. Assert an order-of-magnitude reduction.
+    assert(n > 1000, s"salted hot band produced too few pairs: $n")
+    assert(n < 40000, s"salting failed to bound pair blowup: $n")
+    // cold bands still pair
+    val p = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p.contains((10001L, 10002L)) && p.contains((10003L, 10004L)))
+  }
+
+  test("bucket count scales with group size") {
+    val cfg = GraftConfig(maxBandGroup = 100)
+    val (pairs, _) = Pipeline.candidatePairs(sigs(300), cfg)
+    // 3 buckets of ~100 -> about 3 * C(100,2) ~= 15k, far below C(300,2)=44850
+    val hotPairs = pairs.where($"id_a" < 10000L && $"id_b" < 10000L).count()
+    assert(hotPairs > 5000 && hotPairs < 30000, s"unexpected hot pair count $hotPairs")
+  }
+
+  test("groups beyond hardMaxBandGroup are dropped and counted") {
+    val cfg = GraftConfig(maxBandGroup = 50, hardMaxBandGroup = 100)
+    val (pairs, dropped) = Pipeline.candidatePairs(sigs(500), cfg)
+    assert(dropped == 1)
+    val hotPairs = pairs.where($"id_a" < 10000L).count()
+    assert(hotPairs == 0, "mega-band pairs leaked past the hard cap")
+    assert(pairs.count() == 2) // the two cold bands
+  }
+
+  test("saltHotBands=false restores pure stop-band semantics") {
+    val cfg = GraftConfig(maxBandGroup = 50, saltHotBands = false)
+    val (pairs, dropped) = Pipeline.candidatePairs(sigs(500), cfg)
+    assert(dropped == 1)
+    assert(pairs.where($"id_a" < 10000L).count() == 0)
+  }
+
+  test("salting is deterministic across partitioning") {
+    val cfg = GraftConfig(maxBandGroup = 40)
+    def run(parts: Int) = Pipeline.candidatePairs(sigs(200).repartition(parts), cfg)
+      ._1.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(run(2) == run(7))
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.similarity.Similarity
+
+/** Physical-plan shape gates (SURVEY §4): filters reach the parquet scan,
+  * projections prune the read schema, small sides broadcast, aggregations
+  * keep a map-side partial phase, and narrow stages stay shuffle-free.
+  * These are the properties that decide 100 TB behavior; asserting them in
+  * CI prevents silent plan regressions. */
+class PlanSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def planOf(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  test("filter pushdown: length_filter predicate reaches the parquet scan") {
+    val df = SparkEntry.queries("length_filter")(spark, sfDir)
+    val plan = planOf(df)
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(n_chars,100") &&
+      plan.contains("LessThanOrEqual(n_chars,400"),
+      s"length bounds not pushed to scan:\n${plan.take(2000)}")
+  }
+
+  test("column pruning: token_counts reads only (doc_id, text)") {
+    val df = SparkEntry.queries("token_counts")(spark, sfDir)
+    val plan = planOf(df)
+    val readSchema = "ReadSchema: struct<doc_id:bigint,text:string>"
+    assert(plan.contains(readSchema), s"scan not pruned to 2 columns:\n${plan.take(2000)}")
+  }
+
+  test("broadcast kNN: corpus side is broadcast, not shuffled") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val plan = planOf(Similarity.knnQuantized(emb, emb, 3))
+    assert(plan.contains("BroadcastExchange"), s"no broadcast in kNN plan:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin"), "kNN fell back to a sort-merge join")
+  }
+
+  test("exact-dup aggregation has a map-side partial phase") {
+    val df = SparkEntry.queries("exact_dup_groups")(spark, sfDir)
+    val plan = planOf(df)
+    assert(plan.contains("partial_count"), s"no partial aggregation:\n${plan.take(2000)}")
+  }
+
+  test("signature stage is narrow over deduped contents (single shuffle for dedup only)") {
+    val pages = graft.fixtures.PagesGen.fromDocuments(spark, sfDir)
+    val contents = Pipeline.distinctContents(Pipeline.extract(pages, SparkEntry.cfg))
+    val sigs = Pipeline.signatures(contents, SparkEntry.cfg)
+    val plan = planOf(sigs)
+    // exactly one exchange: the dropDuplicates(node_id) shuffle
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 exchange (dedup), got $exchanges:\n${plan.take(2000)}")
+    // the physical plan folds the projection into the aggregate's result
+    // expressions, so the expression name only prints in the logical plan
+    assert(sigs.queryExecution.optimizedPlan.toString.contains("doc_signature"),
+      "signature expression missing from optimized plan")
+  }
+
+  test("extract keeps the length filter before the expensive expression work") {
+    val pages = graft.fixtures.PagesGen.fromDocuments(spark, sfDir)
+    val plan = Pipeline.extract(pages, SparkEntry.cfg).queryExecution.optimizedPlan.toString
+    // optimizer keeps a Filter node below the projection that computes md5
+    assert(plan.contains("Filter"), s"length/null guard missing:\n${plan.take(1500)}")
+  }
+}
