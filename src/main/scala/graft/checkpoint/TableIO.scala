@@ -54,7 +54,11 @@ object Manifest {
   }
 }
 
-/** Directory-per-stage Parquet snapshots under `root`, keyed by configHash. */
+/** Directory-per-stage Parquet snapshots under `root`, keyed by configHash.
+  * Every commit also writes a per-partition lineage/metrics table
+  * `<stage>/<snapshot>_metrics` with one row per written partition
+  * (north-rule requirement, SURVEY §7.6): the durable generalization of the
+  * reference's atomic progress counters (process_matches.rs:85-96). */
 final class ParquetSnapshotIO(root: String, configHash: String) extends TableIO {
 
   private def stageDir(stage: String) = Paths.get(root, stage)
@@ -72,15 +76,38 @@ final class ParquetSnapshotIO(root: String, configHash: String) extends TableIO 
       }
   }
 
+  /** Per-partition metrics of a committed snapshot. */
+  def metrics(spark: SparkSession, stage: String): Option[DataFrame] = {
+    val p = stageDir(stage).resolve(s"snap-${configHash}_metrics")
+    if (Files.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
   override def commit(df: DataFrame, stage: String): (DataFrame, Manifest) = {
     val spark = df.sparkSession
+    import org.apache.spark.sql.functions._
     val snapshotId = s"snap-$configHash"
     val dir = stageDir(stage)
     Files.createDirectories(dir)
     val dataPath = dir.resolve(snapshotId)
     df.write.mode("overwrite").parquet(dataPath.toString)
-    // row count from parquet footers only (metadata-only job)
-    val rows = spark.read.parquet(dataPath.toString).count()
+
+    // Per-partition lineage rows over the durable snapshot (one light job:
+    // count + byte-size per read partition of the committed files).
+    val committed = spark.read.parquet(dataPath.toString)
+    val perPart = committed
+      .groupBy(spark_partition_id().as("partition_id"))
+      .agg(count(lit(1)).as("rows_out"))
+      .withColumn("stage", lit(stage))
+      .withColumn("snapshot_id", lit(snapshotId))
+      .withColumn("config_hash", lit(configHash))
+      .withColumn("committed_ms", lit(System.currentTimeMillis()))
+      .select("stage", "snapshot_id", "partition_id", "rows_out", "config_hash", "committed_ms")
+      .cache()
+    perPart.write.mode("overwrite").parquet(dir.resolve(s"${snapshotId}_metrics").toString)
+    val rows = Option(perPart.agg(sum(col("rows_out"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L) // empty snapshot -> 0
+    perPart.unpersist()
+
     val m = Manifest(snapshotId, configHash, rows, stage)
     val tmp = dir.resolve(s"_manifest.json.tmp-${java.util.UUID.randomUUID()}")
     Files.write(tmp, m.toJson.getBytes(StandardCharsets.UTF_8))

@@ -2,7 +2,6 @@ package graft.similarity
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 import graft.cluster.ConnectedComponents
 import graft.functions.EmbeddingFunctions._
@@ -41,32 +40,65 @@ object Similarity {
   def withUnit(df: DataFrame, vecCol: String = "embedding"): DataFrame =
     df.withColumn("unit", l2Normalize(col(vecCol)))
 
+  /** Per-query top-k over a scored candidate set WITHOUT a global window
+    * sort: partial top-k heaps per partition (map-side reduction to
+    * <= queries x partitions x k rows), then a bounded per-query merge via
+    * array_sort — the scalable replacement for
+    * row_number().over(partitionBy(query).orderBy(sim)) whose sort shuffle
+    * would move every candidate row. Ranking: sim desc, neighbor_id asc. */
   private def simRank(pairs: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("neighbor_id").asc)
-    pairs
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("vec_id", "neighbor_id", "sim", "rank")
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val partial = pairs
+      .select(col("vec_id"), col("neighbor_id"), col("sim"))
+      .as[(Long, Long, Double)]
+      .mapPartitions { it =>
+        val worstFirst = Ordering.by[(Long, Double), (Double, Long)] {
+          case (nid, s) => (-s, nid)
+        } // max under this ordering = lowest sim (ties: highest neighbor id)
+        val heaps = new java.util.HashMap[Long, scala.collection.mutable.PriorityQueue[(Long, Double)]]()
+        it.foreach { case (q, n, s) =>
+          var h = heaps.get(q)
+          if (h == null) {
+            h = scala.collection.mutable.PriorityQueue.empty[(Long, Double)](worstFirst)
+            heaps.put(q, h)
+          }
+          h.enqueue((n, s))
+          if (h.size > k) h.dequeue()
+        }
+        import scala.jdk.CollectionConverters._
+        heaps.entrySet().iterator().asScala.flatMap { e =>
+          e.getValue.iterator.map { case (n, s) => (e.getKey.longValue(), n, s) }
+        }
+      }
+      .toDF("vec_id", "neighbor_id", "sim")
+    partial
+      .groupBy("vec_id")
+      .agg(slice(
+        array_sort(collect_list(struct(
+          (-col("sim")).as("neg"), col("neighbor_id").as("nid"), col("sim").as("s")))),
+        1, k).as("top"))
+      .select(col("vec_id"), posexplode(col("top")))
+      .select(
+        col("vec_id"),
+        col("col.nid").as("neighbor_id"),
+        col("col.s").as("sim"),
+        (col("pos") + 1).cast("int").as("rank"))
   }
 
-  /** Exact cosine top-k: every `queries` row against every `corpus` row.
-    * The corpus side is broadcast — callers flip the arguments so the small
-    * side broadcasts (at web scale: queries are the small side). */
+  /** Exact cosine top-k: one narrow pass — corpus unit vectors broadcast,
+    * per-query heap over the whole corpus inside mapPartitions. No pair
+    * materialization, no shuffle beyond the corpus collect. Right whenever
+    * the corpus side fits in memory (dims x rows x 8B); at web scale flip
+    * the arguments so the small side broadcasts, or use annTopK/ivfTopK. */
   def knnBruteForce(
       queries: DataFrame,
       corpus: DataFrame,
       k: Int,
       idCol: String = "vec_id",
       vecCol: String = "embedding"
-  ): DataFrame = {
-    val q = withUnit(queries.select(col(idCol).as("vec_id"), col(vecCol)), vecCol)
-      .select(col("vec_id"), col("unit").as("unit_q"))
-    val c = withUnit(corpus.select(col(idCol).as("neighbor_id"), col(vecCol)), vecCol)
-      .select(col("neighbor_id"), col("unit").as("unit_c"))
-    val pairs = q.join(broadcast(c), col("vec_id") =!= col("neighbor_id"))
-      .withColumn("sim", dotProduct(col("unit_q"), col("unit_c")))
-    simRank(pairs, k)
-  }
+  ): DataFrame =
+    knnImpl(queries, corpus, k, idCol, vecCol, quantized = false)
 
   /** Exact cosine top-k with quantized ranking: neighbors ranked by
     * round(sim * 1e6) desc then neighbor_id — integer-stable across engines,
@@ -78,18 +110,49 @@ object Similarity {
       k: Int,
       idCol: String = "vec_id",
       vecCol: String = "embedding"
-  ): DataFrame = {
-    val q = withUnit(queries.select(col(idCol).as("vec_id"), col(vecCol)), vecCol)
-      .select(col("vec_id"), col("unit").as("unit_q"))
-    val c = withUnit(corpus.select(col(idCol).as("neighbor_id"), col(vecCol)), vecCol)
-      .select(col("neighbor_id"), col("unit").as("unit_c"))
-    val w = Window.partitionBy("vec_id").orderBy(col("sim_e6").desc, col("neighbor_id").asc)
-    q.join(broadcast(c), col("vec_id") =!= col("neighbor_id"))
-      .withColumn("sim_e6",
-        round(dotProduct(col("unit_q"), col("unit_c")) * 1e6).cast("long"))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("vec_id", "neighbor_id", "sim_e6", "rank")
+  ): DataFrame =
+    knnImpl(queries, corpus, k, idCol, vecCol, quantized = true)
+
+  private def knnImpl(queries: DataFrame, corpus: DataFrame, k: Int,
+      idCol: String, vecCol: String, quantized: Boolean): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cor: Array[(Long, Array[Double])] =
+      withUnit(corpus.select(col(idCol).as("id"), col(vecCol)), vecCol)
+        .select("id", "unit").as[(Long, Array[Double])].collect().sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(cor)
+
+    val ranked = withUnit(queries.select(col(idCol).as("id"), col(vecCol)), vecCol)
+      .select("id", "unit").as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val c = bc.value
+        it.flatMap { case (qid, qu) =>
+          // score key: quantized -> (sim_e6, -nid); exact -> (sim, -nid);
+          // heap root = worst kept candidate
+          val worstFirst = Ordering.by[(Long, Double, Long), (Double, Long, Long)] {
+            case (nid, s, se6) => if (quantized) (-se6.toDouble, nid, 0L) else (-s, nid, 0L)
+          }
+          val h = scala.collection.mutable.PriorityQueue.empty[(Long, Double, Long)](worstFirst)
+          var i = 0
+          while (i < c.length) {
+            val (nid, nu) = c(i)
+            if (nid != qid) {
+              val s = EmbeddingKernels.dot(qu, nu)
+              val se6 = math.round(s * 1e6)
+              h.enqueue((nid, s, se6))
+              if (h.size > k) h.dequeue()
+            }
+            i += 1
+          }
+          val sorted = h.dequeueAll.reverse // best first
+          sorted.iterator.zipWithIndex.map { case ((nid, s, se6), r) =>
+            (qid, nid, s, se6, r + 1)
+          }
+        }
+      }
+      .toDF("vec_id", "neighbor_id", "sim", "sim_e6", "rank")
+    if (quantized) ranked.select("vec_id", "neighbor_id", "sim_e6", "rank")
+    else ranked.select("vec_id", "neighbor_id", "sim", "rank")
   }
 
   /** Distinct candidate pairs (id_a < id_b) from sign-LSH buckets, with the

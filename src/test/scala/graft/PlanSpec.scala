@@ -32,11 +32,13 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains(readSchema), s"scan not pruned to 2 columns:\n${plan.take(2000)}")
   }
 
-  test("broadcast kNN: corpus side is broadcast, not shuffled") {
+  test("brute-force kNN plan is one narrow pass (broadcast corpus, no shuffle, no join)") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val plan = planOf(Similarity.knnQuantized(emb, emb, 3))
-    assert(plan.contains("BroadcastExchange"), s"no broadcast in kNN plan:\n${plan.take(2000)}")
-    assert(!plan.contains("SortMergeJoin"), "kNN fell back to a sort-merge join")
+    assert(!plan.contains("Exchange"), s"kNN shuffles:\n${plan.take(2000)}")
+    assert(!plan.contains("Join"), s"kNN materializes a join:\n${plan.take(2000)}")
+    assert(plan.contains("MapPartitions") || plan.contains("SerializeFromObject"),
+      s"expected a typed narrow pass:\n${plan.take(2000)}")
   }
 
   test("exact-dup aggregation has a map-side partial phase") {

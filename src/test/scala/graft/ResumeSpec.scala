@@ -55,6 +55,27 @@ class ResumeSpec extends SparkSpec {
     assert(r.report.count() > 0)
   }
 
+  test("per-partition lineage metrics written alongside every commit") {
+    val root = Files.createTempDirectory("graft-metrics").toString
+    val pages = PagesGen.pages(spark, spec)
+    val io = new ParquetSnapshotIO(root, cfg.configHash)
+    val r = Pipeline.run(spark, pages, cfg, io)
+
+    Seq("st0_extracted", "st1_signatures", "st2_candidates",
+      "st3_verified", "st4_clusters", "st5_report").foreach { stage =>
+      val m = io.metrics(spark, stage)
+      assert(m.isDefined, s"no metrics table for $stage")
+      val rows = m.get.collect()
+      assert(rows.nonEmpty, s"empty metrics for $stage")
+      // partition counts sum to the manifest row count
+      val total = rows.map(_.getAs[Long]("rows_out")).sum
+      val manifest = io.load(spark, stage).get._2
+      assert(total == manifest.rowCount, s"$stage: $total != ${manifest.rowCount}")
+      assert(rows.forall(_.getAs[String]("config_hash") == cfg.configHash))
+    }
+    assert(r.report.count() > 0)
+  }
+
   test("config change invalidates snapshots (stale-config refusal)") {
     val root = Files.createTempDirectory("graft-stale").toString
     val pages = PagesGen.pages(spark, spec)
