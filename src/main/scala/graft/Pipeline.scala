@@ -359,17 +359,20 @@ object Pipeline {
       io: TableIO = NoCheckpointIO
   ): Result = {
     val metrics = scala.collection.mutable.ArrayBuffer[StageMetrics]()
+    var prevRows = -1L // rows_in of stage N = rows_out of stage N-1
 
     def stage(name: String, dropped: Long = 0L)(compute: => DataFrame): DataFrame = {
       io.load(spark, name) match {
         case Some((df, m)) =>
           metrics += StageMetrics(name, m.snapshotId, -1, m.rowCount, m.rowCount, 0, 0, 0, m.configHash)
+          prevRows = m.rowCount
           df
         case None =>
           val t0 = System.nanoTime()
           val (df, m) = io.commit(compute, name)
           val wallMs = (System.nanoTime() - t0) / 1000000
-          metrics += StageMetrics(name, m.snapshotId, -1, -1, m.rowCount, dropped, 0, wallMs, m.configHash)
+          metrics += StageMetrics(name, m.snapshotId, -1, prevRows, m.rowCount, dropped, 0, wallMs, m.configHash)
+          prevRows = m.rowCount
           df
       }
     }

@@ -59,19 +59,21 @@ case class EmbeddingBandKeysExpr(child: Expression, bits: Int, bands: Int, seed:
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "embedding_band_keys"
 
-  // Hyperplanes depend on the runtime dim; built once per (task, dim) and
-  // cached — deterministic in (dim, bits, seed), so partition-invariant.
-  @transient private var cachedDim: Int = -1
-  @transient private var cachedPlanes: Array[Array[Double]] = _
+  // Hyperplanes depend on the runtime dim; built once per (instance, dim)
+  // and cached behind a single reference (one atomic read/write — the
+  // expression instance may be shared across task threads, and a dim+planes
+  // pair must never tear). Deterministic in (dim, bits, seed).
+  @transient private var cache: (Int, Array[Array[Double]]) = _
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData].toFloatArray()
-    if (cachedPlanes == null || cachedDim != v.length) {
-      cachedPlanes = EmbeddingKernels.hyperplanes(v.length, bits, seed)
-      cachedDim = v.length
+    var c = cache
+    if (c == null || c._1 != v.length) {
+      c = (v.length, EmbeddingKernels.hyperplanes(v.length, bits, seed))
+      cache = c
     }
     val unit = EmbeddingKernels.normalize(v)
-    new GenericArrayData(EmbeddingKernels.signBandKeys(unit, cachedPlanes, bands))
+    new GenericArrayData(EmbeddingKernels.signBandKeys(unit, c._2, bands))
   }
 
   override protected def withNewChildInternal(newChild: Expression): EmbeddingBandKeysExpr =
