@@ -192,6 +192,25 @@ object SparkEntry {
         .groupBy("host").agg(count(lit(1)).as("cnt"))
         .orderBy("host")),
 
+    // ================= event-stream analytics (events table) =============
+
+    // ---- tumbling-hour rollup (event-time window aggregation)
+    "events_hourly" -> ((s, dir) =>
+      graft.events.EventOps.hourlyRollup(s.read.parquet(s"$dir/events.parquet"))
+        .orderBy("hour_epoch", "event_type")),
+
+    // ---- gap-based sessionization (lag + running-sum window functions)
+    "sessions_30m" -> ((s, dir) =>
+      graft.events.EventOps.sessionStats(s.read.parquet(s"$dir/events.parquet"), 30)
+        .orderBy("user_id", "session_id")),
+
+    // ---- JSON property extraction (semi-structured column)
+    "props_extract" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy("event_id")),
+
     // ---- A7 keeper selection as a window function (canonical per group)
     "canonical_pick" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -329,6 +348,36 @@ object SparkEntry {
       """SELECT regexp_extract(url, '^https://([^/]+)/', 1) AS host, count(*) AS cnt
         |FROM (SELECT 'https://host' || CAST(doc_id % 97 AS VARCHAR) || '.example/d/' || CAST(doc_id AS VARCHAR) || '/0' AS url FROM documents)
         |GROUP BY 1 ORDER BY host""".stripMargin,
+    "events_hourly" ->
+      """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch,
+        |       event_type, count(*) AS cnt,
+        |       min(event_id) AS min_event_id, max(event_id) AS max_event_id
+        |FROM events GROUP BY 1, 2 ORDER BY hour_epoch, event_type""".stripMargin,
+    "sessions_30m" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events
+        |), f AS (
+        |  SELECT user_id, event_id, ts,
+        |         CASE WHEN prev_ts IS NULL
+        |                OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+        |              THEN 1 ELSE 0 END AS ns
+        |  FROM e
+        |), g AS (
+        |  SELECT user_id, event_id, ts,
+        |         sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS seq
+        |  FROM f
+        |)
+        |SELECT user_id, CAST(user_id * 1000000 + seq AS BIGINT) AS session_id,
+        |       count(*) AS n_events,
+        |       min(event_id) AS first_event_id, max(event_id) AS last_event_id,
+        |       CAST(floor(epoch(min(ts))) AS BIGINT) AS start_epoch,
+        |       CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS duration_s
+        |FROM g GROUP BY user_id, seq ORDER BY user_id, session_id""".stripMargin,
+    "props_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
     "canonical_pick" ->
       s"""WITH pages AS (
          |  SELECT 'https://host' || CAST(doc_id % 97 AS VARCHAR) || '.example/d/' || CAST(doc_id AS VARCHAR) || '/0' AS url, text FROM documents
