@@ -192,6 +192,52 @@ object SparkEntry {
         .groupBy("host").agg(count(lit(1)).as("cnt"))
         .orderBy("host")),
 
+    // ============ relational coverage (TPC-H-ish shared tables) ==========
+    // Money is compared as exact integer cents: per-element
+    // round(x * 100) is identical double math in Spark and DuckDB, and the
+    // bigint sums are order-independent (no float-hash hazard).
+
+    // ---- A2/A5-style wide aggregation over lineitem (contract example q1)
+    "q1_agg" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity")).cast("long").as("sum_qty"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_price_c"),
+          sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100).cast("long"))
+            .as("sum_disc_price_c"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // ---- J1 3-way fact join with dim filter (TPC-H Q3 shape, top-k)
+    "q3_top_orders" -> ((s, dir) => {
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .where(col("c_mktsegment") === "BUILDING")
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+        .join(broadcast(cust), orders("o_custkey") === cust("c_custkey"))
+        .groupBy("o_orderkey")
+        .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("long")).as("revenue_c"))
+        .orderBy(col("revenue_c").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // ---- J1 dim-chain rollup (region > nation > customer), broadcast dims
+    "nation_rollup" -> ((s, dir) => {
+      val region = s.read.parquet(s"$dir/region.parquet")
+      val nation = s.read.parquet(s"$dir/nation.parquet")
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+      cust
+        .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+        .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(round(col("c_acctbal") * 100).cast("long")).as("acctbal_c"))
+        .orderBy("r_name", "n_name")
+    }),
+
     // ================= event-stream analytics (events table) =============
 
     // ---- tumbling-hour rollup (event-time window aggregation)
@@ -348,6 +394,28 @@ object SparkEntry {
       """SELECT regexp_extract(url, '^https://([^/]+)/', 1) AS host, count(*) AS cnt
         |FROM (SELECT 'https://host' || CAST(doc_id % 97 AS VARCHAR) || '.example/d/' || CAST(doc_id AS VARCHAR) || '/0' AS url FROM documents)
         |GROUP BY 1 ORDER BY host""".stripMargin,
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_price_c,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q3_top_orders" ->
+      """SELECT o_orderkey,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey ORDER BY revenue_c DESC, o_orderkey LIMIT 10""".stripMargin,
+    "nation_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_customers,
+        |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_c
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2 ORDER BY r_name, n_name""".stripMargin,
     "events_hourly" ->
       """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch,
         |       event_type, count(*) AS cnt,
