@@ -25,10 +25,10 @@ object StageProbe {
     spark.sparkContext.setLogLevel("WARN")
     val cfg = GraftConfig()
 
-    def t[A](name: String)(f: => A): A = {
+    def t[A](name: String)(f: => (A, Long)): A = {
       val t0 = System.nanoTime()
-      val r = f
-      println(f"PROBE $name%-14s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      val (r, n) = f
+      println(f"PROBE $name%-14s ${(System.nanoTime() - t0) / 1e9}%7.2f s  rows=$n")
       r
     }
 
@@ -36,27 +36,27 @@ object StageProbe {
     Pipeline.run(spark, PagesGen.pages(spark, PagesGen.Spec(60)), cfg).report.count()
 
     val pages = PagesGen.pages(spark, PagesGen.Spec(nUnits, tokensScale = tokensScale))
-    t("gen")(pages.count())
+    t("gen")(((), pages.count()))
     val extracted = t("extract") {
-      val d = Pipeline.extract(pages, cfg).localCheckpoint(false); d.count(); d
+      val d = Pipeline.extract(pages, cfg).localCheckpoint(false); (d, d.count())
     }
     val contents = t("contents") {
-      val d = Pipeline.distinctContents(extracted).localCheckpoint(false); d.count(); d
+      val d = Pipeline.distinctContents(extracted).localCheckpoint(false); (d, d.count())
     }
     val sigs = t("signatures") {
-      val d = Pipeline.signatures(contents, cfg).localCheckpoint(false); d.count(); d
+      val d = Pipeline.signatures(contents, cfg).localCheckpoint(false); (d, d.count())
     }
     val candidates = t("candidates") {
       val (p, _) = Pipeline.candidatePairs(sigs, cfg)
-      val d = p.localCheckpoint(false); d.count(); d
+      val d = p.localCheckpoint(false); (d, d.count())
     }
     val verified = t("verify") {
-      val d = Pipeline.verifyPairs(candidates, contents, cfg).localCheckpoint(false); d.count(); d
+      val d = Pipeline.verifyPairs(candidates, contents, cfg).localCheckpoint(false); (d, d.count())
     }
     val clusters = t("cluster") {
-      val d = Pipeline.cluster(extracted, verified, cfg).localCheckpoint(false); d.count(); d
+      val d = Pipeline.cluster(extracted, verified, cfg).localCheckpoint(false); (d, d.count())
     }
-    t("report")(Pipeline.report(clusters).count())
+    t("report")(((), Pipeline.report(clusters).count()))
     spark.stop()
   }
 }
