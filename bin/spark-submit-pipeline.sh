@@ -4,7 +4,7 @@
 # Usage:
 #   bin/spark-submit-pipeline.sh bench            # Bench JSON (scaling + queries)
 #   bin/spark-submit-pipeline.sh verify SF OUT    # correctness dump
-#   bin/spark-submit-pipeline.sh probe N UNITS    # per-stage timings
+#   bin/spark-submit-pipeline.sh probe N UNITS [TOKENS_SCALE]  # per-stage timings
 #
 # On a real cluster swap --master local[*] for the cluster master and drop
 # nothing else: the code never assumes local mode (all parallelism comes from

@@ -125,16 +125,24 @@ object Bench {
     // ---- per-query timings at the contract parallelism
     val doQueries = sys.env.getOrElse("SPARK_GRAFT_QUERIES", "1") == "1"
     val spark = session(cpus)
+    val failed = scala.collection.mutable.ArrayBuffer[String]()
     val results = (if (doQueries) SparkEntry.queries.toSeq.sortBy(_._1) else Nil)
       .map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        try { fn(spark, sfDir).count() }
+        catch { case e: Throwable =>
+          failed += name
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
         name -> (System.nanoTime() - t0) / 1e9
       }
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val failedJson =
+      if (failed.isEmpty) ""
+      else failed.map(n => "\"" + n + "\"").mkString(""","failed":[""", ",", "]")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"$scalingJson}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"$failedJson$scalingJson}""")
     spark.stop()
   }
 }

@@ -5,9 +5,10 @@ import org.apache.spark.sql.SparkSession
 import graft.fixtures.PagesGen
 import graft.model.GraftConfig
 
-/** Diagnostic: per-stage wall time of the pipeline at one parallelism level.
-  * Usage: runMain graft.StageProbe <cpus> <nUnits>. Not part of the driver
-  * contract; used to locate anti-scaling stages. */
+/** Diagnostic: per-stage wall time + row count of the pipeline at one
+  * parallelism level. Usage: runMain graft.StageProbe <cpus> <nUnits>
+  * [tokensScale]. Not part of the driver contract; used to locate
+  * anti-scaling stages. */
 object StageProbe {
   def main(args: Array[String]): Unit = {
     val cpus = if (args.length > 0) args(0).toInt else 8

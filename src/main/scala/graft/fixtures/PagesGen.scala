@@ -155,8 +155,9 @@ object PagesGen {
     * the pipeline uses (so "same shingle/signature config" holds by
     * construction). Pairs with 0.7 < J < 0.8 are emitted with kind
     * "borderline" (excluded from both recall and precision accounting). */
-  def genTruth(i: Long, seed: Long, shingleK: Int, minJaccard: Double): Seq[TruthPair] = {
-    val members = unitTexts(i, seed).filter(_._2.length >= 8)
+  def genTruth(i: Long, seed: Long, shingleK: Int, minJaccard: Double,
+      tokensScale: Int = 1): Seq[TruthPair] = {
+    val members = unitTexts(i, seed, tokensScale).filter(_._2.length >= 8)
     val withUrl = members.zipWithIndex.map { case ((tag, text, excl), _) =>
       (urlFor(i, tag, excl), text, excl)
     }
@@ -180,8 +181,9 @@ object PagesGen {
 
   /** Truth cluster members per unit: union-find over exact+near truth pairs
     * (the transitive closure the pipeline's CC must reproduce). */
-  def genTruthClusters(i: Long, seed: Long, shingleK: Int, minJaccard: Double): Seq[TruthMember] = {
-    val pairs = genTruth(i, seed, shingleK, minJaccard)
+  def genTruthClusters(i: Long, seed: Long, shingleK: Int, minJaccard: Double,
+      tokensScale: Int = 1): Seq[TruthMember] = {
+    val pairs = genTruth(i, seed, shingleK, minJaccard, tokensScale)
       .filter(p => p.kind == "exact" || p.kind == "near")
     if (pairs.isEmpty) return Seq.empty
     val urls = pairs.flatMap(p => Seq(p.url_a, p.url_b)).distinct.sorted
@@ -212,16 +214,18 @@ object PagesGen {
   def truthPairs(spark: SparkSession, spec: Spec, shingleK: Int = 5, minJaccard: Double = 0.8): DataFrame = {
     import spark.implicits._
     val seed = spec.seed
+    val scale = spec.tokensScale
     spark.range(0L, spec.nUnits)
-      .flatMap(i => genTruth(i, seed, shingleK, minJaccard))
+      .flatMap(i => genTruth(i, seed, shingleK, minJaccard, scale))
       .toDF()
   }
 
   def truthClusters(spark: SparkSession, spec: Spec, shingleK: Int = 5, minJaccard: Double = 0.8): DataFrame = {
     import spark.implicits._
     val seed = spec.seed
+    val scale = spec.tokensScale
     spark.range(0L, spec.nUnits)
-      .flatMap(i => genTruthClusters(i, seed, shingleK, minJaccard))
+      .flatMap(i => genTruthClusters(i, seed, shingleK, minJaccard, scale))
       .toDF()
   }
 

@@ -73,11 +73,21 @@ object IncrementalDedup {
       .localCheckpoint(false)
 
     // ---- candidates: new-vs-new within the batch bands, plus new-vs-stored
-    // through the durable band index (band_key, node_id)
+    // through the durable band index (band_key, node_id). The stored side
+    // gets the same hot-band guard as batch ST2: band keys whose stored
+    // membership exceeds maxBandGroup are excluded from the cross join
+    // (otherwise a boilerplate band accumulating members over batches makes
+    // per-batch work grow with the stored hot-band size, not the batch).
     val newBands = sigs.select(col("node_id"), explode(col("band_hashes")).as("band_key"))
     val storedBands = readOrEmpty(spark, dirs.bandIndex, newBands)
+    val hotStored = storedBands
+      .join(broadcast(newBands.select("band_key").distinct()), Seq("band_key"), "left_semi")
+      .groupBy("band_key").count()
+      .where(col("count") > cfg.maxBandGroup)
+      .select("band_key")
     val crossPairs = newBands.as("n")
-      .join(storedBands.as("s"), col("n.band_key") === col("s.band_key"))
+      .join(storedBands.join(broadcast(hotStored), Seq("band_key"), "left_anti").as("s"),
+        col("n.band_key") === col("s.band_key"))
       .select(
         least(col("n.node_id"), col("s.node_id")).as("id_a"),
         greatest(col("n.node_id"), col("s.node_id")).as("id_b"))

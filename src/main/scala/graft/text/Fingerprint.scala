@@ -45,10 +45,21 @@ object Fingerprint {
   /** Finalizer so raw polynomial states are well-spread before comparing. */
   @inline private def mix(h: Long): Long = Hashing.splitMix64(h)
 
-  /** Winnowing selection: distinct sorted minima of each w-window. */
+  /** Winnowing selection: distinct sorted minima of each w-window
+    * (unsigned comparison throughout — the short-input path must agree with
+    * the windowed path or the shared-substring guarantee breaks at the
+    * length boundary). */
   def winnow(hashes: Array[Long], w: Int): Array[Long] = {
     if (hashes.isEmpty) return Array.empty
-    if (hashes.length <= w) return Array(hashes.min)
+    if (hashes.length <= w) {
+      var m = hashes(0)
+      var i = 1
+      while (i < hashes.length) {
+        if (java.lang.Long.compareUnsigned(hashes(i), m) <= 0) m = hashes(i)
+        i += 1
+      }
+      return Array(m)
+    }
     val sel = new java.util.TreeSet[java.lang.Long]()
     var start = 0
     while (start + w <= hashes.length) {
