@@ -238,6 +238,27 @@ object SparkEntry {
         .orderBy("r_name", "n_name")
     }),
 
+    // ---- part dimension rollup (size histogram + retail cents)
+    "part_stats" -> ((s, dir) =>
+      s.read.parquet(s"$dir/part.parquet")
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_parts"),
+          min(col("p_size")).as("min_size"),
+          max(col("p_size")).as("max_size"),
+          sum(round(col("p_retailprice") * 100).cast("long")).as("retail_c"))
+        .orderBy("p_brand")),
+
+    // ---- supplier x nation join (left dim chain on the supply side)
+    "supplier_nations" -> ((s, dir) => {
+      val nation = s.read.parquet(s"$dir/nation.parquet")
+      s.read.parquet(s"$dir/supplier.parquet")
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(round(col("s_acctbal") * 100).cast("long")).as("acctbal_c"))
+        .orderBy("n_name")
+    }),
+
     // ================= event-stream analytics (events table) =============
 
     // ---- tumbling-hour rollup (event-time window aggregation)
@@ -416,6 +437,16 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY 1, 2 ORDER BY r_name, n_name""".stripMargin,
+    "part_stats" ->
+      """SELECT p_brand, count(*) AS n_parts,
+        |  min(p_size) AS min_size, max(p_size) AS max_size,
+        |  CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS retail_c
+        |FROM part GROUP BY 1 ORDER BY p_brand""".stripMargin,
+    "supplier_nations" ->
+      """SELECT n_name, count(*) AS n_suppliers,
+        |  CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_c
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY n_name""".stripMargin,
     "events_hourly" ->
       """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch,
         |       event_type, count(*) AS cnt,
