@@ -142,8 +142,17 @@ object Bench {
     val failedJson =
       if (failed.isEmpty) ""
       else failed.map(n => "\"" + n + "\"").mkString(""","failed":[""", ",", "]")
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"$failedJson$scalingJson}""")
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"$failedJson$scalingJson}"""
+    // Three delivery paths so the driver can machine-parse the result even
+    // when a logger swallows or prefixes stdout lines: the bare JSON line,
+    // a sentinel-prefixed copy, and a file in the repo root.
+    println(json)
+    println(s"GRAFT_BENCH_JSON $json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.json"),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Exception => System.err.println(s"[bench] BENCH.json write failed: $e") }
     spark.stop()
   }
 }

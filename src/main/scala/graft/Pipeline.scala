@@ -44,8 +44,28 @@ object Pipeline {
       verified: DataFrame,
       clusters: DataFrame,
       report: DataFrame,
-      metrics: Seq[StageMetrics]
-  )
+      metricsFn: () => Seq[StageMetrics]
+  ) {
+    /** Stage metrics. Evaluated on demand: the ST2 band-guard counters ride
+      * on a lazily-checkpointed census table, so reading them runs one tiny
+      * job over cached partitions instead of forcing a driver sync inside
+      * the pipeline itself (the Amdahl floor the north rule measures). */
+    lazy val metrics: Seq[StageMetrics] = metricsFn()
+  }
+
+  /** ST2 band-guard counters (recall accounting, SURVEY §7.5): fully-dropped
+    * over-cap groups, salted (partially-paired) groups, and the member rows
+    * inside salted groups. A true pair whose SOLE colliding band is salted
+    * can be missed with probability ~(1 - 1/buckets); these counters size
+    * that exposure instead of hiding it behind the drop count alone. */
+  final case class BandStats(
+      droppedBandGroups: Long,
+      saltedBandGroups: Long,
+      saltedMembers: Long)
+
+  /** ST2 output: the candidate-pair table plus a lazy stats thunk (calling
+    * it runs a tiny job over the cached hot-band census). */
+  final case class Candidates(pairs: DataFrame, stats: () => BandStats)
 
   // ---------------------------------------------------------------- ST0
   /** pages(url, warc_ts, html, text, lang) ->
@@ -111,29 +131,58 @@ object Pipeline {
     *  - groups beyond hardMaxBandGroup are dropped, counted in metrics
     *    (boilerplate stop-band; recall accounting stays honest, SURVEY §7.5).
     *
-    * Returns (pairs, droppedBandGroups). */
-  def candidatePairs(sigs: DataFrame, cfg: GraftConfig): (DataFrame, Long) = {
-    val spark = sigs.sparkSession
-    import spark.implicits._
-
+    * The census and the salting are JOINS, never a driver collect: a
+    * 10^12-doc web corpus can have millions of >maxBandGroup boilerplate
+    * bands, and the driver must see only the three scalar counters (and
+    * those only when metrics are read). Returns the pair table plus a lazy
+    * BandStats thunk riding on the cached census. */
+  def candidatePairs(sigs: DataFrame, cfg: GraftConfig): Candidates = {
     // band_hashes are already seeded by band index, so the hash itself is
     // the join key; explode 32 rows per distinct doc, not 128 (numPerm).
     val bands = sigs.select(col("node_id"), explode(col("band_hashes")).as("band_key"))
 
-    // Hot-band census BEFORE grouping members: partial aggregation makes the
-    // count cheap; the hot key list is tiny and broadcast.
-    val counts = bands.groupBy("band_key").count()
+    // Hot-band census (one partial-agg shuffle), kept distributed. Lazily
+    // checkpointed: the pair job materializes it once for both joins below,
+    // and the stats thunk then reads the cached partitions.
     val hotCap = if (cfg.saltHotBands) cfg.hardMaxBandGroup.toLong else cfg.maxBandGroup.toLong
-    val hotKeys = counts.where(col("count") > cfg.maxBandGroup).select("band_key", "count")
-    val hotRows = hotKeys.as[(Long, Long)].collect() // few keys by construction
-    val droppedGroups = hotRows.count(_._2 > hotCap).toLong
-    val saltable = hotRows.filter(r => r._2 <= hotCap).toMap // band_key -> size
+    val hotCounts = bands.groupBy("band_key").count()
+      .where(col("count") > cfg.maxBandGroup)
+      .localCheckpoint(false)
 
-    val cold =
-      if (hotRows.isEmpty) bands
-      else bands.join(broadcast(hotKeys.select("band_key")), Seq("band_key"), "left_anti")
+    // Cold bands pair up whole; hot keys are few relative to the corpus, so
+    // AQE turns this anti-join into a broadcast when it fits (and keeps it a
+    // shuffle join when millions of hot keys don't).
+    val cold = bands.join(hotCounts.select("band_key"), Seq("band_key"), "left_anti")
+    val coldPairs = pairsWithin(
+      cold.groupBy("band_key").agg(collect_list(col("node_id")).as("ids")))
 
-    def pairsWithin(grouped: DataFrame): Dataset[CandidatePair] = grouped
+    // Salted repartition of hot (but not over-cap) bands: bucket count
+    // scales with group size so each (band, salt) cell stays <= ~maxBandGroup
+    // members — work O(size * maxBandGroup), not O(size^2).
+    val maxGroup = cfg.maxBandGroup.toLong
+    val salted = bands
+      .join(hotCounts.where(col("count") <= hotCap), Seq("band_key"))
+      .withColumn("salt", pmod(xxhash64(col("node_id"), col("band_key")),
+        floor((col("count") + lit(maxGroup - 1)) / lit(maxGroup)).cast("long")))
+    val hotPairs = pairsWithin(
+      salted.groupBy("band_key", "salt").agg(collect_list(col("node_id")).as("ids")))
+
+    val pairs = coldPairs.union(hotPairs).distinct().toDF("id_a", "id_b")
+    val stats = () => {
+      val row = hotCounts.agg(
+        sum(when(col("count") > hotCap, 1L).otherwise(0L)),
+        sum(when(col("count") <= hotCap, 1L).otherwise(0L)),
+        sum(when(col("count") <= hotCap, col("count")).otherwise(0L))).head()
+      def g(i: Int) = if (row.isNullAt(i)) 0L else row.getLong(i)
+      BandStats(g(0), g(1), g(2))
+    }
+    Candidates(pairs, stats)
+  }
+
+  private def pairsWithin(grouped: DataFrame): Dataset[CandidatePair] = {
+    val spark = grouped.sparkSession
+    import spark.implicits._
+    grouped
       .where(size(col("ids")) >= 2)
       .select(col("ids"))
       .as[Seq[Long]]
@@ -145,32 +194,6 @@ object Pipeline {
           j <- i + 1 until s.length
         } yield CandidatePair(s(i), s(j))
       }
-
-    val coldPairs = pairsWithin(
-      cold.groupBy("band_key").agg(collect_list(col("node_id")).as("ids")))
-
-    val allPairs =
-      if (saltable.isEmpty) coldPairs
-      else {
-        val saltableB = spark.sparkContext.broadcast(saltable)
-        val maxGroup = cfg.maxBandGroup
-        // salted repartition of hot bands: bucket count scales with group
-        // size so each (band, bucket) cell stays <= ~maxBandGroup members
-        val hotBands = bands.as[(Long, Long)].flatMap { case (id, key) =>
-          saltableB.value.get(key) match {
-            case Some(sz) =>
-              val buckets = ((sz + maxGroup - 1) / maxGroup).toInt
-              val b = Math.floorMod(graft.util.Hashing.hashLong(id, key), buckets.toLong)
-              Some((id, key, b))
-            case None => None
-          }
-        }.toDF("node_id", "band_key", "salt")
-        val hotPairs = pairsWithin(
-          hotBands.groupBy("band_key", "salt").agg(collect_list(col("node_id")).as("ids")))
-        coldPairs.union(hotPairs)
-      }
-
-    (allPairs.distinct().toDF("id_a", "id_b"), droppedGroups)
   }
 
   // ---------------------------------------------------------------- ST3
@@ -185,22 +208,7 @@ object Pipeline {
   ): DataFrame = {
     val spark = candidates.sparkSession
     import spark.implicits._
-
-    val a = contents.select(col("node_id").as("id_a"), col("text").as("text_a"))
-    val b = contents.select(col("node_id").as("id_b"), col("text").as("text_b"))
-    val nPart =
-      if (cfg.verifyPartitions > 0) cfg.verifyPartitions
-      else spark.sparkContext.defaultParallelism * 2
-    val joined = candidates
-      .join(a, "id_a")
-      .join(b, "id_b")
-      .select("id_a", "id_b", "text_a", "text_b")
-      // CPU-bound stage with tiny row bytes: force core-proportional
-      // parallelism (AQE would coalesce to ~1 partition and serialize it);
-      // partitioning by id_a also co-locates each left text's pairs so the
-      // shingle memo below hits.
-      .repartition(nPart, col("id_a"))
-      .as[(Long, Long, String, String)]
+    val joined = verifyInput(candidates, contents, cfg)
 
     val k = cfg.shingleK
     val minJ = cfg.minJaccard
@@ -233,6 +241,34 @@ object Pipeline {
         VerifiedPair(idA, idB, j, ham, lcs, passed)
       }
     }.toDF()
+  }
+
+  /** The partitioned verify input. CPU-bound stage with tiny row bytes:
+    * force core-proportional parallelism (AQE's bytes-targeted coalescing
+    * would serialize it). The repartition key is (id_a, id_b mod
+    * verifySalt): id_a alone co-locates each left text's pairs for the
+    * shingle memo, but a hub content pairing with 10^5 others would land its
+    * whole CPU-bound workload in one partition — the salt bounds any one
+    * content's share to ~1/verifySalt of its pairs while keeping most memo
+    * locality (each partition still sees runs of the same id_a). */
+  private[graft] def verifyInput(
+      candidates: DataFrame,
+      contents: DataFrame,
+      cfg: GraftConfig
+  ): Dataset[(Long, Long, String, String)] = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val a = contents.select(col("node_id").as("id_a"), col("text").as("text_a"))
+    val b = contents.select(col("node_id").as("id_b"), col("text").as("text_b"))
+    val nPart =
+      if (cfg.verifyPartitions > 0) cfg.verifyPartitions
+      else spark.sparkContext.defaultParallelism * 2
+    candidates
+      .join(a, "id_a")
+      .join(b, "id_b")
+      .select("id_a", "id_b", "text_a", "text_b")
+      .repartition(nPart, col("id_a"), pmod(col("id_b"), lit(cfg.verifySalt.toLong)))
+      .as[(Long, Long, String, String)]
   }
 
   // ---------------------------------------------------------------- ST4
@@ -382,23 +418,33 @@ object Pipeline {
     val contents = distinctContents(extracted).localCheckpoint(false)
     val sigs = stage("st1_signatures")(signatures(contents, cfg))
 
-    var droppedBands = 0L
+    var bandStats: Option[() => BandStats] = None
     val candidates = stage("st2_candidates") {
-      val (p, d) = candidatePairs(sigs, cfg)
-      droppedBands = d
-      p
+      val c = candidatePairs(sigs, cfg)
+      bandStats = Some(c.stats)
+      c.pairs
     }
 
     val verified = stage("st3_verified")(verifyPairs(candidates, contents, cfg))
     val clusters = stage("st4_clusters")(cluster(extracted, verified, cfg))
     val rep = stage("st5_report")(report(clusters))
 
-    // attach the hot-band drop count to st2's metrics row
-    val withDrops = metrics.map {
-      case m if m.stage == "st2_candidates" && m.wall_ms > 0 => m.copy(dropped_by_guard = droppedBands)
-      case m => m
-    }.toSeq
+    val base = metrics.toSeq
+    // Band-guard counters attach lazily: reading Result.metrics runs one
+    // tiny job over the cached ST2 census; the pipeline itself keeps zero
+    // metric-only driver actions (the serial floor the north rule measures).
+    val metricsFn = () => bandStats match {
+      case Some(f) =>
+        val s = f()
+        base.map {
+          case m if m.stage == "st2_candidates" && m.wall_ms > 0 =>
+            m.copy(dropped_by_guard = s.droppedBandGroups,
+              salted_groups = s.saltedBandGroups, salted_members = s.saltedMembers)
+          case m => m
+        }
+      case None => base
+    }
 
-    Result(extracted, sigs, candidates, verified, clusters, rep, withDrops)
+    Result(extracted, sigs, candidates, verified, clusters, rep, metricsFn)
   }
 }

@@ -48,8 +48,7 @@ object StageProbe {
       val d = Pipeline.signatures(contents, cfg).localCheckpoint(false); (d, d.count())
     }
     val candidates = t("candidates") {
-      val (p, _) = Pipeline.candidatePairs(sigs, cfg)
-      val d = p.localCheckpoint(false); (d, d.count())
+      val d = Pipeline.candidatePairs(sigs, cfg).pairs.localCheckpoint(false); (d, d.count())
     }
     val verified = t("verify") {
       val d = Pipeline.verifyPairs(candidates, contents, cfg).localCheckpoint(false); (d, d.count())

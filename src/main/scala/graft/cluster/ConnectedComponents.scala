@@ -36,17 +36,23 @@ object ConnectedComponents {
   def run(spark: SparkSession, edges: DataFrame, maxIter: Int,
       localThreshold: Long = LocalEdgeThreshold): DataFrame = {
     import spark.implicits._
-    val e = edges.toDF("src", "dst")
+    val e = edges.toDF("src", "dst").where($"src" =!= $"dst")
+
+    // Fused local path: ONE job. limit(T+1)+collect — if it returned <= T
+    // rows the limit was exhaustive and union-find runs on the driver
+    // (union-find needs neither dedup nor symmetrization, so the previous
+    // distinct-shuffle + count-job + collect-job collapse into one action:
+    // driver sync points are the Amdahl term the north rule measures).
+    // Beyond T the distributed loop takes over; the <= 2M collected rows
+    // (32 MB) are discarded — negligible against a job that big.
+    val lim = math.min(localThreshold + 1, Int.MaxValue.toLong).toInt
+    val sample = e.as[(Long, Long)].limit(lim).collect()
+    if (sample.isEmpty) return spark.emptyDataset[(Long, Long)].toDF("id", "cluster_id")
+    if (sample.length <= localThreshold) return runLocal(spark, sample)
+
     val sym = e.union(e.select($"dst".as("src"), $"src".as("dst")))
-      .where($"src" =!= $"dst")
       .distinct()
       .localCheckpoint(true)
-
-    val nEdges = sym.count() // cached; also the emptiness check
-    if (nEdges == 0) {
-      return spark.emptyDataset[(Long, Long)].toDF("id", "cluster_id")
-    }
-    if (nEdges <= localThreshold) return runLocal(spark, sym)
 
     var labels = sym.select($"src".as("id")).distinct()
       .withColumn("label", $"id")
@@ -79,12 +85,11 @@ object ConnectedComponents {
     labels.select($"id", $"label".as("cluster_id"))
   }
 
-  /** Driver-side union-find over a collected (already symmetrized,
-    * deduplicated) edge set. Produces identical labels to the distributed
-    * loop: every node's cluster_id is its component minimum. */
-  private def runLocal(spark: SparkSession, sym: DataFrame): DataFrame = {
+  /** Driver-side union-find over a collected edge array (any orientation,
+    * duplicates fine). Produces identical labels to the distributed loop:
+    * every node's cluster_id is its component minimum. */
+  private def runLocal(spark: SparkSession, pairs: Array[(Long, Long)]): DataFrame = {
     import spark.implicits._
-    val pairs = sym.where($"src" < $"dst").as[(Long, Long)].collect()
     val idx = new java.util.HashMap[Long, Int]()
     pairs.foreach { case (a, b) =>
       if (!idx.containsKey(a)) idx.put(a, idx.size())

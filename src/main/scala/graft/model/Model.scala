@@ -49,7 +49,12 @@ final case class GraftConfig(
       * parallelism). Verify is CPU-bound with tiny row bytes, so AQE's
       * bytes-targeted coalescing would serialize it — parallelism must be
       * proportional to cores, not data size (SURVEY.md §4.3). */
-    verifyPartitions: Int = 0
+    verifyPartitions: Int = 0,
+    /** Salt modulus for the ST3 verify repartition key (id_a, id_b mod
+      * verifySalt): bounds a hub content's share of the CPU-bound verify
+      * work to ~1/verifySalt of its pairs while keeping shingle-memo
+      * locality on id_a. 1 = unsalted. */
+    verifySalt: Int = 16
 ) {
   require(numPerm % bands == 0, s"numPerm=$numPerm must be divisible by bands=$bands")
   def rowsPerBand: Int = numPerm / bands
@@ -124,5 +129,10 @@ final case class StageMetrics(
     dropped_by_guard: Long,
     bytes: Long,
     wall_ms: Long,
-    config_hash: String
+    config_hash: String,
+    /** ST2 only: band groups salted into buckets (partial in-band pairing)
+      * and the member rows inside them — sizes the in-band recall exposure
+      * that the drop count alone doesn't cover. */
+    salted_groups: Long = 0L,
+    salted_members: Long = 0L
 )

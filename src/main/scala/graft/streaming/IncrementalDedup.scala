@@ -14,7 +14,7 @@ import graft.model.GraftConfig
   * NEW urls only, against durable state tables —
   *
   *   signatures(node_id, n_bytes, minhash, simhash, band_hashes)   [state]
-  *   members(url, node_id, n_bytes)                                 [state]
+  *   members(url, node_id, n_bytes, warc_ts, batch_id)              [state]
   *   edges(id_a, id_b)                                              [state]
   *   clusters(url, cluster_id, ...)                                 [output]
   *
@@ -54,13 +54,33 @@ object IncrementalDedup {
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schemaOf.schema)
 
   /** Process one micro-batch of pages against the state under `dirs`.
-    * Exposed for testing; `start` wires it into foreachBatch. */
-  def processBatch(batch: DataFrame, cfg: GraftConfig, dirs: StateDirs): Unit = {
+    * Exposed for testing; `start` wires it into foreachBatch.
+    *
+    * Re-crawl semantics (the reference's changed-file invalidation,
+    * /root/reference/src/file_db.rs:311-343): member rows carry
+    * (batch_id, warc_ts), the cluster rewrite keeps only each url's LATEST
+    * content binding, and edges whose endpoints no longer back any live url
+    * are retired from clustering (signature/edge state is kept — if the
+    * content reappears under another url it needs no recompute). A batch
+    * that introduces no new (url, node_id) binding is a no-op: state and
+    * clusters are left untouched. */
+  def processBatch(batch: DataFrame, cfg: GraftConfig, dirs: StateDirs, batchId: Long = 0L): Unit = {
     val spark = batch.sparkSession
     if (batch.isEmpty) return
 
     val extracted = Pipeline.extract(batch, cfg).localCheckpoint(false)
     val newContents = Pipeline.distinctContents(extracted)
+
+    // ---- skip unchanged batches: if every (url, node_id) binding already
+    // exists, no state row and no cluster assignment can change.
+    val memberRows = extracted
+      .select("url", "node_id", "n_bytes", "warc_ts")
+      .withColumn("batch_id", lit(batchId))
+    val existingMembers = readOrEmpty(spark, dirs.members, memberRows)
+    val newMemberRows = memberRows
+      .join(existingMembers.select("url", "node_id"), Seq("url", "node_id"), "left_anti")
+      .localCheckpoint(false)
+    if (newMemberRows.isEmpty) return
 
     // ---- new contents = not yet in the signature state
     val contents =
@@ -92,7 +112,7 @@ object IncrementalDedup {
         least(col("n.node_id"), col("s.node_id")).as("id_a"),
         greatest(col("n.node_id"), col("s.node_id")).as("id_b"))
       .where(col("id_a") =!= col("id_b"))
-    val (newPairs, _) = Pipeline.candidatePairs(sigs, cfg)
+    val newPairs = Pipeline.candidatePairs(sigs, cfg).pairs
     val candidates = newPairs.union(crossPairs).distinct().localCheckpoint(false)
 
     // ---- verify at the signature level (stored texts are not retained):
@@ -118,17 +138,32 @@ object IncrementalDedup {
       }.toDF("id_a", "id_b")
 
     // ---- append state, recluster, rewrite output
-    val memberRows = extracted.select("url", "node_id", "n_bytes")
     appendParquet(sigs.drop("text"), dirs.signatures)
     appendParquet(newBands, dirs.bandIndex)
-    appendParquet(memberRows, dirs.members)
+    appendParquet(newMemberRows, dirs.members)
     appendParquet(verified, dirs.edges)
 
-    val allEdges = spark.read.parquet(dirs.edges).distinct()
-    val cc = graft.cluster.ConnectedComponents.run(spark, allEdges, cfg.maxCcIterations)
-    val allMembers = spark.read.parquet(dirs.members).dropDuplicates("url")
-    val clusters = allMembers
-      .join(cc, allMembers("node_id") === cc("id"), "left")
+    // Latest binding per url, deterministic: (batch_id, warc_ts, node_id)
+    // struct max — a re-crawled url with changed text re-clusters onto its
+    // NEW content node; its old binding row stays in state but never wins.
+    val allMembers = spark.read.parquet(dirs.members)
+    val resolved = allMembers
+      .groupBy("url")
+      .agg(max(struct(col("batch_id"), col("warc_ts"), col("node_id"), col("n_bytes"))).as("m"))
+      .select(col("url"), col("m.node_id").as("node_id"), col("m.n_bytes").as("n_bytes"))
+      .localCheckpoint(false)
+
+    // Retire edges of dead content: a node backing zero live urls must not
+    // bridge clusters (stale-content invalidation at cluster time).
+    val liveA = resolved.select(col("node_id").as("id_a")).distinct()
+    val liveB = liveA.select(col("id_a").as("id_b"))
+    val liveEdges = spark.read.parquet(dirs.edges).distinct()
+      .join(liveA, Seq("id_a"), "left_semi")
+      .join(liveB, Seq("id_b"), "left_semi")
+
+    val cc = graft.cluster.ConnectedComponents.run(spark, liveEdges, cfg.maxCcIterations)
+    val clusters = resolved
+      .join(cc, resolved("node_id") === cc("id"), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("node_id")))
       .select("url", "node_id", "cluster_id", "n_bytes")
     // overwrite via temp + swap-less rewrite (parquet overwrite is atomic
@@ -146,7 +181,7 @@ object IncrementalDedup {
       .outputMode("update")
       .option("checkpointLocation", dirs.checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) => processBatch(batch, cfg, dirs) }
+      .foreachBatch { (batch: DataFrame, id: Long) => processBatch(batch, cfg, dirs, id) }
       .start()
   }
 }

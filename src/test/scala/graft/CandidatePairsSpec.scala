@@ -6,7 +6,8 @@ import graft.model.GraftConfig
 
 /** ST2 hot-band skew handling: salted repartitioning bounds pair-generation
   * work per band cell; the hard cap drops boilerplate mega-bands with an
-  * honest metrics count (SURVEY.md §4.3 / build-plan item 6). */
+  * honest metrics count (SURVEY.md §4.3 / build-plan item 6). The census
+  * and salting are joins — the driver only ever sees the scalar counters. */
 class CandidatePairsSpec extends SparkSpec {
   import spark.implicits._
 
@@ -20,21 +21,23 @@ class CandidatePairsSpec extends SparkSpec {
 
   test("hot band is salted into bounded buckets (work O(n*maxBandGroup), not O(n^2))") {
     val cfg = GraftConfig(maxBandGroup = 50)
-    val (pairs, dropped) = Pipeline.candidatePairs(sigs(500), cfg)
-    val n = pairs.count()
-    assert(dropped == 0)
+    val c = Pipeline.candidatePairs(sigs(500), cfg)
+    val n = c.pairs.count()
+    val stats = c.stats()
+    assert(stats.droppedBandGroups == 0)
+    assert(stats.saltedBandGroups == 1 && stats.saltedMembers == 500)
     // unsalted would be C(500,2) = 124750 hot pairs; salted: ~10 buckets of
     // ~50 -> ~ 10 * C(50,2) ~= 12k. Assert an order-of-magnitude reduction.
     assert(n > 1000, s"salted hot band produced too few pairs: $n")
     assert(n < 40000, s"salting failed to bound pair blowup: $n")
     // cold bands still pair
-    val p = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p = c.pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(p.contains((10001L, 10002L)) && p.contains((10003L, 10004L)))
   }
 
   test("bucket count scales with group size") {
     val cfg = GraftConfig(maxBandGroup = 100)
-    val (pairs, _) = Pipeline.candidatePairs(sigs(300), cfg)
+    val pairs = Pipeline.candidatePairs(sigs(300), cfg).pairs
     // 3 buckets of ~100 -> about 3 * C(100,2) ~= 15k, far below C(300,2)=44850
     val hotPairs = pairs.where($"id_a" < 10000L && $"id_b" < 10000L).count()
     assert(hotPairs > 5000 && hotPairs < 30000, s"unexpected hot pair count $hotPairs")
@@ -42,24 +45,46 @@ class CandidatePairsSpec extends SparkSpec {
 
   test("groups beyond hardMaxBandGroup are dropped and counted") {
     val cfg = GraftConfig(maxBandGroup = 50, hardMaxBandGroup = 100)
-    val (pairs, dropped) = Pipeline.candidatePairs(sigs(500), cfg)
-    assert(dropped == 1)
-    val hotPairs = pairs.where($"id_a" < 10000L).count()
+    val c = Pipeline.candidatePairs(sigs(500), cfg)
+    assert(c.stats().droppedBandGroups == 1)
+    val hotPairs = c.pairs.where($"id_a" < 10000L).count()
     assert(hotPairs == 0, "mega-band pairs leaked past the hard cap")
-    assert(pairs.count() == 2) // the two cold bands
+    assert(c.pairs.count() == 2) // the two cold bands
   }
 
   test("saltHotBands=false restores pure stop-band semantics") {
     val cfg = GraftConfig(maxBandGroup = 50, saltHotBands = false)
-    val (pairs, dropped) = Pipeline.candidatePairs(sigs(500), cfg)
-    assert(dropped == 1)
-    assert(pairs.where($"id_a" < 10000L).count() == 0)
+    val c = Pipeline.candidatePairs(sigs(500), cfg)
+    assert(c.stats().droppedBandGroups == 1)
+    assert(c.pairs.where($"id_a" < 10000L).count() == 0)
   }
 
   test("salting is deterministic across partitioning") {
     val cfg = GraftConfig(maxBandGroup = 40)
     def run(parts: Int) = Pipeline.candidatePairs(sigs(200).repartition(parts), cfg)
-      ._1.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      .pairs.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     assert(run(2) == run(7))
+  }
+
+  test("10^4 hot bands stay distributed (no per-key driver state)") {
+    // 10,000 distinct hot bands of 7 members each (> maxBandGroup = 5):
+    // every one is salted via the census JOIN; the only driver-visible
+    // values are the three scalar counters.
+    val nBands = 10000
+    val rows = for {
+      b <- 0 until nBands
+      m <- 0 until 7
+    } yield ((b * 100 + m).toLong, Seq(1000000L + b))
+    val df = rows.toDF("node_id", "band_hashes").repartition(8)
+    val cfg = GraftConfig(maxBandGroup = 5)
+    val c = Pipeline.candidatePairs(df, cfg)
+    val nPairs = c.pairs.count()
+    val stats = c.stats()
+    assert(stats.droppedBandGroups == 0)
+    assert(stats.saltedBandGroups == nBands.toLong)
+    assert(stats.saltedMembers == nBands.toLong * 7)
+    // each band of 7 in 2 salt buckets yields between C(4,2)+C(3,2)=9 and
+    // C(7,2)=21 pairs depending on the split; bounded both sides
+    assert(nPairs >= nBands * 6L && nPairs <= nBands * 21L, s"pair count $nPairs")
   }
 }
