@@ -57,9 +57,7 @@ object Bench {
     * scaling (no shuffle, no materialization in the timed window). */
   private def sigRunOnce(spark: SparkSession, nUnits: Long): (Long, Double) = {
     import org.apache.spark.sql.functions.{bit_count, col, sum}
-    val spec = PagesGen.Spec(nUnits = nUnits, tokensScale = 4)
-    val contents = Pipeline.distinctContents(
-      Pipeline.extract(PagesGen.pages(spark, spec), SparkEntry.cfg))
+    val contents = PagesGen.syntheticContents(spark, nUnits, tokensScale = 4)
       .localCheckpoint(true) // materialized before timing
     val docs = contents.count()
     // warm-up (JIT of the kernels)
@@ -74,7 +72,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val scalingUnits = sys.env.getOrElse("SPARK_GRAFT_SCALE_UNITS", "40000").toLong
+    // Pipeline scaling corpus: sized so parallel compute dominates the
+    // ~3-6 s serial floor (driver planning + AQE rounds + shuffle-stage
+    // scheduling) the way production minutes-long stages would.
+    val scalingUnits = sys.env.getOrElse("SPARK_GRAFT_SCALE_UNITS", "120000").toLong
+    // Signature-stage corpus (independent knob; 1 unit = 1 distinct doc via
+    // PagesGen.syntheticContents): sized so the timed narrow map dominates
+    // the fixed per-job latency.
+    val sigUnits = sys.env.getOrElse("SPARK_GRAFT_SIG_UNITS", "400000").toLong
     val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") == "1"
 
     // ---- scaling evidence: same job, same input, local[N] then local[4N]
@@ -102,14 +107,11 @@ object Bench {
         f""""local${n}":{"sec":${best(n)}%.2f,"docs_per_sec":${docs / best(n)}%.1f}""" }.mkString(",")
 
       // signature-stage (narrow map) scaling: interleaved, min per level.
-      // 6x the corpus: the stage is ~6x faster than the full pipeline, so
-      // this keeps compute dominant over the fixed per-job latency
-      // (268.8k docs at the default 40k units -> measured 0.83 efficiency).
       val sigBest = scala.collection.mutable.Map[Int, Double]()
       var sigDocs = 0L
       for (_ <- 1 to reps; n <- levels) {
         val s = session(n)
-        val (d, sec) = sigRunOnce(s, scalingUnits * 6)
+        val (d, sec) = sigRunOnce(s, sigUnits)
         s.stop()
         sigDocs = d
         sigBest(n) = math.min(sigBest.getOrElse(n, Double.MaxValue), sec)

@@ -258,8 +258,18 @@ object Pipeline {
   ): Dataset[(Long, Long, String, String)] = {
     val spark = candidates.sparkSession
     import spark.implicits._
-    val a = contents.select(col("node_id").as("id_a"), col("text").as("text_a"))
-    val b = contents.select(col("node_id").as("id_b"), col("text").as("text_b"))
+    // Only texts that appear in some candidate pair enter the joins: the
+    // candidate id set is tiny relative to the corpus (LSH-bounded), so the
+    // semi-join prunes the byte-heavy side BEFORE any wide shuffle — the
+    // full contents table (the whole corpus's text) is never shuffled here,
+    // only the dup-set texts. At 100 TB this is the difference between
+    // shuffling ~TBs twice and shuffling the dup set.
+    val ids = candidates.select(col("id_a").as("node_id"))
+      .union(candidates.select(col("id_b").as("node_id")))
+      .distinct()
+    val need = contents.join(ids, Seq("node_id"), "left_semi")
+    val a = need.select(col("node_id").as("id_a"), col("text").as("text_a"))
+    val b = need.select(col("node_id").as("id_b"), col("text").as("text_b"))
     val nPart =
       if (cfg.verifyPartitions > 0) cfg.verifyPartitions
       else spark.sparkContext.defaultParallelism * 2
@@ -414,8 +424,11 @@ object Pipeline {
     }
 
     val extracted = stage("st0_extracted")(extract(pages, cfg))
-    // shared once: the full-text dedup shuffle feeding both ST1 and ST3
-    val contents = distinctContents(extracted).localCheckpoint(false)
+    // Shared once: the full-text dedup shuffle feeding both ST1 and ST3.
+    // A stage of its own so st1's rows_in counts what st1 actually consumes
+    // (deduped contents, not st0 rows) and so durable resume of ST3 reads
+    // committed contents instead of recomputing the dedup.
+    val contents = stage("st0b_contents")(distinctContents(extracted))
     val sigs = stage("st1_signatures")(signatures(contents, cfg))
 
     var bandStats: Option[() => BandStats] = None

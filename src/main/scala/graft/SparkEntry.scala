@@ -108,6 +108,23 @@ object SparkEntry {
       r.report
     }),
 
+    // ---- full pipeline, hash-checked against a DuckDB oracle: with the
+    // SimHash-Hamming gate disabled (maxHamming = -1) the pass rule is
+    // exactly "shingle-Jaccard >= 0.8", which DuckDB can recompute from
+    // scratch (tokens -> 5-shingles -> pairwise Jaccard -> transitive
+    // closure via recursive CTE). LSH recall at J >= 0.8 is 1 - 5e-8 per
+    // pair and the corpus has no pair in (0.5, 0.875) exclusive, so the
+    // probabilistic layer cannot flip membership. Cluster identity is
+    // expressed as min(url) (node ids are xxhash64, not SQL-reproducible).
+    "pipeline_membership" -> ((s, dir) => {
+      val r = Pipeline.run(s, PagesGen.fromDocuments(s, dir), cfg.copy(maxHamming = -1))
+      val key = r.clusters.groupBy("cluster_id").agg(min(col("url")).as("cluster_key"))
+      r.clusters.join(key, "cluster_id")
+        .select(col("cluster_key"), col("url"),
+          col("n_members"), col("n_exact_subgroups"))
+        .orderBy("cluster_key", "url")
+    }),
+
     // ---- ST0 exact-identity group-size histogram: extract stage vs pure SQL
     "exact_group_sizes" -> ((s, dir) => {
       Pipeline.extract(PagesGen.fromDocuments(s, dir), cfg)
@@ -347,14 +364,14 @@ object SparkEntry {
     "knn_top3" ->
       """WITH p AS (
         |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
-        |         CAST(round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 1e6) AS BIGINT) AS sim_e6
+        |         CAST(round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 1e4) AS BIGINT) AS sim_e4
         |  FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id
         |), r AS (
-        |  SELECT vec_id, neighbor_id, sim_e6,
-        |         CAST(row_number() OVER (PARTITION BY vec_id ORDER BY sim_e6 DESC, neighbor_id) AS INT) AS rank
+        |  SELECT vec_id, neighbor_id, sim_e4,
+        |         CAST(row_number() OVER (PARTITION BY vec_id ORDER BY sim_e4 DESC, neighbor_id) AS INT) AS rank
         |  FROM p
         |)
-        |SELECT vec_id, neighbor_id, sim_e6, rank FROM r WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
+        |SELECT vec_id, neighbor_id, sim_e4, rank FROM r WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
     "emb_norms" ->
       """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
         |  CAST(round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))) * 1e6) AS BIGINT) AS norm_e6
@@ -477,6 +494,47 @@ object SparkEntry {
     "props_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+    "pipeline_membership" ->
+      """WITH RECURSIVE pages AS (
+        |  SELECT 'https://host' || CAST(doc_id % 97 AS VARCHAR) || '.example/d/' || CAST(doc_id AS VARCHAR) || '/0' AS url, text FROM documents
+        |  UNION ALL SELECT 'https://host' || CAST(doc_id % 97 AS VARCHAR) || '.example/d/' || CAST(doc_id AS VARCHAR) || '/1', text FROM documents WHERE doc_id % 10 IN (0,1)
+        |  UNION ALL SELECT 'https://host' || CAST(doc_id % 97 AS VARCHAR) || '.example/d/' || CAST(doc_id AS VARCHAR) || '/2', text FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL SELECT 'https://host' || CAST(doc_id % 97 AS VARCHAR) || '.example/d/' || CAST(doc_id AS VARCHAR) || '/3', text || ' zqnear' || CAST(doc_id AS VARCHAR) || 'x' FROM documents WHERE doc_id % 10 = 2
+        |), flt AS (
+        |  SELECT url, text FROM pages WHERE length(text) BETWEEN 8 AND 100000000
+        |), sh AS (
+        |  SELECT text, (
+        |    WITH t AS (SELECT list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks)
+        |    SELECT list_distinct([array_to_string(toks[i:i+4], ' ') for i in generate_series(1, greatest(len(toks)-4, 1))]) FROM t
+        |  ) AS shingles
+        |  FROM (SELECT DISTINCT text FROM flt)
+        |), e AS (
+        |  SELECT a.text AS ta, b.text AS tb
+        |  FROM sh a JOIN sh b ON a.text < b.text
+        |  WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+        |        / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.8
+        |), sym AS (
+        |  SELECT ta AS a, tb AS b FROM e
+        |  UNION SELECT tb, ta FROM e
+        |  UNION SELECT text, text FROM sh
+        |), reach(a, b) AS (
+        |  SELECT a, b FROM sym
+        |  UNION
+        |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+        |), lbl AS (
+        |  SELECT a AS text, min(b) AS root_text FROM reach GROUP BY a
+        |), m AS (
+        |  SELECT f.url, f.text, l.root_text FROM flt f JOIN lbl l ON f.text = l.text
+        |), cs AS (
+        |  SELECT root_text, min(url) AS cluster_key,
+        |         count(*) AS n_members, count(DISTINCT text) AS n_sub
+        |  FROM m GROUP BY root_text HAVING count(*) >= 2
+        |)
+        |SELECT cs.cluster_key, m.url,
+        |       CAST(cs.n_members AS BIGINT) AS n_members,
+        |       CAST(cs.n_sub AS INT) AS n_exact_subgroups
+        |FROM m JOIN cs ON m.root_text = cs.root_text
+        |ORDER BY cluster_key, url""".stripMargin,
     "canonical_pick" ->
       s"""WITH pages AS (
          |  SELECT 'https://host' || CAST(doc_id % 97 AS VARCHAR) || '.example/d/' || CAST(doc_id AS VARCHAR) || '/0' AS url, text FROM documents

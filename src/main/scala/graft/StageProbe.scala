@@ -18,10 +18,12 @@ object StageProbe {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64kb")
       .config("spark.eventLog.enabled", sys.env.getOrElse("SPARK_GRAFT_EVENTLOG", "false"))
       .config("spark.eventLog.dir", "/tmp/spark-events")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
+      .config("spark.local.dir", "/dev/shm/graft-spark-tmp") // match Bench
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val cfg = GraftConfig()

@@ -31,34 +31,67 @@ object ConnectedComponents {
     * default beyond the threshold. 2M edges = 32 MB collected. */
   final val LocalEdgeThreshold = 2_000_000L
 
+  /** Iterations executed by the most recent `run` on this JVM (diagnostic /
+    * test hook for durable resume; not part of the result contract). */
+  @volatile var lastRunIterations: Int = 0
+
   /** edges: two LongType columns (src, dst), undirected, self-loops ok.
-    * Returns (id, cluster_id) for every node that appears in an edge. */
+    * Returns (id, cluster_id) for every node that appears in an edge.
+    *
+    * `durableDir`: when set, the distributed loop commits its label table
+    * after every iteration (atomic manifest rename, keyed by a hash of the
+    * edge set) and a restarted run RESUMES from the last committed labels
+    * instead of from scratch — executor/driver loss on a long job costs one
+    * iteration, not the whole propagation. Correctness of resume: min-label
+    * propagation is monotone (labels only decrease, always to the id of a
+    * node in the same component), so the fixpoint from any committed
+    * intermediate state equals the from-scratch fixpoint. State written
+    * under a different edge set is ignored (edge-hash mismatch). */
   def run(spark: SparkSession, edges: DataFrame, maxIter: Int,
-      localThreshold: Long = LocalEdgeThreshold): DataFrame = {
+      localThreshold: Long = LocalEdgeThreshold,
+      durableDir: Option[String] = None): DataFrame = {
     import spark.implicits._
     val e = edges.toDF("src", "dst").where($"src" =!= $"dst")
 
-    // Fused local path: ONE job. limit(T+1)+collect — if it returned <= T
-    // rows the limit was exhaustive and union-find runs on the driver
-    // (union-find needs neither dedup nor symmetrization, so the previous
-    // distinct-shuffle + count-job + collect-job collapse into one action:
-    // driver sync points are the Amdahl term the north rule measures).
-    // Beyond T the distributed loop takes over; the <= 2M collected rows
-    // (32 MB) are discarded — negligible against a job that big.
-    val lim = math.min(localThreshold + 1, Int.MaxValue.toLong).toInt
-    val sample = e.as[(Long, Long)].limit(lim).collect()
-    if (sample.isEmpty) return spark.emptyDataset[(Long, Long)].toDF("id", "cluster_id")
-    if (sample.length <= localThreshold) return runLocal(spark, sample)
+    // Local path: count on the lazily-cached edge set (ONE fully-parallel
+    // job — the expensive upstream lineage, e.g. the CPU-bound verify
+    // stage, materializes here at full width; a limit+collect probe would
+    // let CollectLimit's progressive partition scan serialize it), then a
+    // cheap collect from cache. Union-find needs neither dedup nor
+    // symmetrization, so the old distinct shuffle is gone entirely.
+    val cached = e.localCheckpoint(false)
+    val nEdges = cached.count()
+    if (nEdges == 0) return spark.emptyDataset[(Long, Long)].toDF("id", "cluster_id")
+    if (nEdges <= localThreshold) {
+      return runLocal(spark, cached.as[(Long, Long)].collect())
+    }
 
-    val sym = e.union(e.select($"dst".as("src"), $"src".as("dst")))
+    val sym = cached.union(cached.select($"dst".as("src"), $"src".as("dst")))
       .distinct()
       .localCheckpoint(true)
 
-    var labels = sym.select($"src".as("id")).distinct()
-      .withColumn("label", $"id")
-      .localCheckpoint(true)
+    // Durable-resume bookkeeping: labels keyed by an order-independent hash
+    // of the (symmetrized) edge set, committed per iteration via atomic
+    // manifest rename. XOR aggregation — no ANSI sum-overflow hazard.
+    val durable = durableDir.map { dir =>
+      val row = sym.agg(
+        bit_xor(xxhash64($"src", $"dst")), count(lit(1))).head()
+      new DurableLabels(dir, f"${row.getLong(0)}%016x-${row.getLong(1)}")
+    }
 
-    var iter = 0
+    var startIter = 0
+    var labels = durable.flatMap(_.load(spark)) match {
+      case Some((df, k)) =>
+        startIter = k
+        df.localCheckpoint(true)
+      case None =>
+        sym.select($"src".as("id")).distinct()
+          .withColumn("label", $"id")
+          .localCheckpoint(true)
+    }
+
+    var iter = startIter
+    var executed = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val msgs = sym.join(labels, sym("src") === labels("id"))
@@ -69,11 +102,14 @@ object ConnectedComponents {
         .groupBy("id")
         .agg(min($"cand").as("label"),
           min(when($"own", $"cand")).as("old_label"))
-      val obs = Observation(s"cc_iter_$iter")
+      val obs = Observation(s"cc_iter_${System.identityHashCode(agg)}_$iter")
       val observed = agg.observe(obs,
         sum(when($"label" =!= $"old_label", 1L).otherwise(0L)).as("changed"))
         .select($"id", $"label")
-      val next = observed.localCheckpoint(true) // eager: runs the one job
+      val next = durable match {
+        case Some(d) => d.commit(observed, iter + 1) // durable write IS the lineage cut
+        case None    => observed.localCheckpoint(true) // eager: runs the one job
+      }
       val changed = obs.get.get("changed") match {
         case Some(n: Long) => n
         case _             => 0L
@@ -81,8 +117,46 @@ object ConnectedComponents {
       labels = next
       converged = changed == 0L
       iter += 1
+      executed += 1
     }
+    lastRunIterations = executed
     labels.select($"id", $"label".as("cluster_id"))
+  }
+
+  /** Per-iteration durable label store: `<dir>/labels-iter<k>` parquet plus
+    * an atomically-renamed `_cc_manifest.json` recording (edgeHash, iter).
+    * The manifest only ever points at a fully-written snapshot; state under
+    * a different edgeHash is ignored and overwritten. */
+  private final class DurableLabels(dir: String, edgeHash: String) {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.charset.StandardCharsets
+    private val root = Paths.get(dir)
+    private val manifest = root.resolve("_cc_manifest.json")
+    private val Field = """"(\w+)"\s*:\s*(?:"([^"]*)"|(\d+))""".r
+
+    def load(spark: SparkSession): Option[(DataFrame, Int)] = {
+      if (!Files.exists(manifest)) return None
+      val kv = Field.findAllMatchIn(
+        new String(Files.readAllBytes(manifest), StandardCharsets.UTF_8))
+        .map(m => m.group(1) -> Option(m.group(2)).getOrElse(m.group(3))).toMap
+      for {
+        h <- kv.get("edge_hash") if h == edgeHash
+        k <- kv.get("iter").map(_.toInt)
+        p = root.resolve(s"labels-iter$k") if Files.exists(p)
+      } yield (spark.read.parquet(p.toString), k)
+    }
+
+    def commit(labels: DataFrame, iter: Int): DataFrame = {
+      Files.createDirectories(root)
+      val p = root.resolve(s"labels-iter$iter")
+      labels.write.mode("overwrite").parquet(p.toString)
+      val tmp = root.resolve(s"_cc_manifest.tmp-${java.util.UUID.randomUUID()}")
+      Files.write(tmp,
+        s"""{"edge_hash": "$edgeHash", "iter": $iter}""".getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, manifest, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      labels.sparkSession.read.parquet(p.toString)
+    }
   }
 
   /** Driver-side union-find over a collected edge array (any orientation,

@@ -21,8 +21,9 @@ import java.nio.ByteBuffer
   *  2. Strip `<!-- -->` comments, `<script>`/`<style>` elements wholesale.
   *  3. Every remaining tag is a word boundary (becomes whitespace).
   *  4. Decode entities: amp, lt, gt, quot, apos, nbsp (-> U+00A0) and
-  *     numeric `&#NNN;` / `&#xHH;`. Unrecognized entities pass through
-  *     literally.
+  *     numeric `&#NNN;` / `&#xHH;` including supplementary-plane code
+  *     points (emitted as surrogate pairs). Lone-surrogate code points and
+  *     unrecognized entities pass through literally.
   *  5. Normalize: runs of ASCII whitespace collapse to a single space;
   *     leading/trailing whitespace dropped. (Non-ASCII whitespace such as
   *     U+00A0 is content, not separator.)
@@ -147,8 +148,14 @@ object ExtractText {
         if (semi > i && semi - i <= 12) {
           val body = s.substring(i + 1, semi)
           decodeEntity(body) match {
-            case Some(ch) => emit(ch); i = semi + 1
-            case None     => emit('&'); i += 1
+            case Some(str) =>
+              // first char goes through emit (pending-space handling);
+              // a low surrogate of a supplementary pair appends directly
+              emit(str.charAt(0))
+              var p = 1
+              while (p < str.length) { sb.append(str.charAt(p)); p += 1 }
+              i = semi + 1
+            case None => emit('&'); i += 1
           }
         } else { emit('&'); i += 1 }
       } else if (isAsciiWs(c)) {
@@ -162,25 +169,31 @@ object ExtractText {
     sb.toString
   }
 
-  private def decodeEntity(body: String): Option[Char] = body match {
-    case "amp"  => Some('&')
-    case "lt"   => Some('<')
-    case "gt"   => Some('>')
-    case "quot" => Some('"')
-    case "apos" => Some('\'')
-    case "nbsp" => Some(' ')
+  private def decodeEntity(body: String): Option[String] = body match {
+    case "amp"  => Some("&")
+    case "lt"   => Some("<")
+    case "gt"   => Some(">")
+    case "quot" => Some("\"")
+    case "apos" => Some("'")
+    case "nbsp" => Some("\u00a0") // content, not separator (header step 5)
     case _ if body.startsWith("#x") || body.startsWith("#X") =>
-      try {
-        val cp = Integer.parseInt(body.substring(2), 16)
-        if (cp >= 0 && cp <= 0xffff && !Character.isSurrogate(cp.toChar)) Some(cp.toChar) else None
-      } catch { case _: NumberFormatException => None }
+      codePoint(body.substring(2), 16)
     case _ if body.startsWith("#") =>
-      try {
-        val cp = Integer.parseInt(body.substring(1))
-        if (cp >= 0 && cp <= 0xffff && !Character.isSurrogate(cp.toChar)) Some(cp.toChar) else None
-      } catch { case _: NumberFormatException => None }
+      codePoint(body.substring(1), 10)
     case _ => None
   }
+
+  /** Valid scalar code points only: BMP non-surrogates directly,
+    * supplementary planes as surrogate pairs; lone surrogates and
+    * out-of-range values are rejected (entity passes through literally). */
+  private def codePoint(digits: String, radix: Int): Option[String] =
+    try {
+      val cp = Integer.parseInt(digits, radix)
+      if (cp >= 0 && cp <= 0x10ffff &&
+          !(cp >= Character.MIN_SURROGATE && cp <= Character.MAX_SURROGATE))
+        Some(new String(Character.toChars(cp)))
+      else None
+    } catch { case _: NumberFormatException => None }
 
   /** Render `text` back to html such that `apply(render(text)) == text`
     * byte-identically, with per-host deterministic boilerplate. Used by the

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -10,23 +10,30 @@ import graft.similarity.EmbeddingKernels
 
 /** Custom Catalyst expressions for the embedding-similarity tier (training-
   * data ops). Deterministic + null-intolerant like the text-signature
-  * expressions; CodegenFallback — the work is tight primitive loops over
-  * small arrays, which the interpreter dispatches once per row.
+  * expressions; each emits a direct kernel call from generated code so the
+  * projection stays inside one whole-stage-codegen span (the loops
+  * themselves are JIT-compiled Scala either way).
   */
 
 /** array<double> x array<double> -> double dot product (tight loop; faster
   * than the builtin `aggregate(zip_with(..))` lambda chain on the kNN
   * hot path, where it runs O(n*k_candidates) times). */
 case class DotProductExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "dot_product"
 
+  def kernel(a: ArrayData, b: ArrayData): Double =
+    EmbeddingKernels.dot(a.toDoubleArray(), b.toDoubleArray())
+
   override def nullSafeEval(a: Any, b: Any): Any =
-    EmbeddingKernels.dot(
-      a.asInstanceOf[ArrayData].toDoubleArray(),
-      b.asInstanceOf[ArrayData].toDoubleArray())
+    kernel(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("dotExpr", this)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.kernel($a, $b);")
+  }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProductExpr =
     copy(left = l, right = r)
@@ -35,14 +42,21 @@ case class DotProductExpr(left: Expression, right: Expression)
 /** array<float> -> l2-normalized array<double> (the similarity unit vector,
   * computed once per row instead of once per candidate pair). */
 case class L2NormalizeExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "l2_normalize"
 
+  def kernel(input: ArrayData): GenericArrayData =
+    new GenericArrayData(EmbeddingKernels.normalize(input.toFloatArray()))
+
   override def nullSafeEval(input: Any): Any =
-    new GenericArrayData(EmbeddingKernels.normalize(
-      input.asInstanceOf[ArrayData].toFloatArray()))
+    kernel(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("l2Expr", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): L2NormalizeExpr =
     copy(child = newChild)
@@ -52,7 +66,7 @@ case class L2NormalizeExpr(child: Expression)
   * hyperplane LSH, Charikar 2002). Same key shape as the MinHash band keys
   * so ST2's candidate-pair machinery is shared across both dedup tiers. */
 case class EmbeddingBandKeysExpr(child: Expression, bits: Int, bands: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(bits % bands == 0, s"bits=$bits must be divisible by bands=$bands")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -65,8 +79,8 @@ case class EmbeddingBandKeysExpr(child: Expression, bits: Int, bands: Int, seed:
   // pair must never tear). Deterministic in (dim, bits, seed).
   @transient private var cache: (Int, Array[Array[Double]]) = _
 
-  override def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData].toFloatArray()
+  def kernel(input: ArrayData): GenericArrayData = {
+    val v = input.toFloatArray()
     var c = cache
     if (c == null || c._1 != v.length) {
       c = (v.length, EmbeddingKernels.hyperplanes(v.length, bits, seed))
@@ -74,6 +88,14 @@ case class EmbeddingBandKeysExpr(child: Expression, bits: Int, bands: Int, seed:
     }
     val unit = EmbeddingKernels.normalize(v)
     new GenericArrayData(EmbeddingKernels.signBandKeys(unit, c._2, bands))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bandKeysExpr", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): EmbeddingBandKeysExpr =

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -12,13 +12,21 @@ import graft.text.Fingerprint
 /** text -> array<long> winnowing fingerprint set (Schleimer et al. 2003).
   * Deterministic; the copy-detection sketch tier of the text-analysis ops. */
 case class WinnowFingerprintExpr(child: Expression, k: Int, w: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "winnow_fingerprint"
 
+  def kernel(input: UTF8String): GenericArrayData =
+    new GenericArrayData(Fingerprint.fingerprints(input.toString, k, w))
+
   override def nullSafeEval(input: Any): Any =
-    new GenericArrayData(Fingerprint.fingerprints(input.asInstanceOf[UTF8String].toString, k, w))
+    kernel(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("winnowExpr", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): WinnowFingerprintExpr =
     copy(child = newChild)
@@ -26,13 +34,21 @@ case class WinnowFingerprintExpr(child: Expression, k: Int, w: Int)
 
 /** text -> 64-bit digest of the winnowing fingerprint set. */
 case class Fingerprint64Expr(child: Expression, k: Int, w: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "fingerprint64"
 
+  def kernel(input: UTF8String): Long =
+    Fingerprint.fingerprint64(input.toString, k, w)
+
   override def nullSafeEval(input: Any): Any =
-    Fingerprint.fingerprint64(input.asInstanceOf[UTF8String].toString, k, w)
+    kernel(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("fp64Expr", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Fingerprint64Expr =
     copy(child = newChild)

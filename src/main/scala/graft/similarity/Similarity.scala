@@ -101,9 +101,14 @@ object Similarity {
     knnImpl(queries, corpus, k, idCol, vecCol, quantized = false)
 
   /** Exact cosine top-k with quantized ranking: neighbors ranked by
-    * round(sim * 1e6) desc then neighbor_id — integer-stable across engines,
+    * round(sim * 1e4) desc then neighbor_id — integer-stable across engines,
     * so an ANSI-SQL oracle reproduces ranks bit-for-bit (float-hash-safe
-    * driver compare). Returns (vec_id, neighbor_id, sim_e6, rank). */
+    * driver compare). The quantum is deliberately coarse: engines computing
+    * the cosine in different operation orders can diverge by an ulp, and a
+    * value within an ulp of a rounding boundary would flip a rank; at 1e4
+    * the boundary density is 100x lower than 1e6 and quantized ties resolve
+    * by neighbor_id in both engines. Returns (vec_id, neighbor_id, sim_e4,
+    * rank). */
   def knnQuantized(
       queries: DataFrame,
       corpus: DataFrame,
@@ -127,10 +132,10 @@ object Similarity {
       .mapPartitions { it =>
         val c = bc.value
         it.flatMap { case (qid, qu) =>
-          // score key: quantized -> (sim_e6, -nid); exact -> (sim, -nid);
+          // score key: quantized -> (sim_e4, -nid); exact -> (sim, -nid);
           // heap root = worst kept candidate
           val worstFirst = Ordering.by[(Long, Double, Long), (Double, Long, Long)] {
-            case (nid, s, se6) => if (quantized) (-se6.toDouble, nid, 0L) else (-s, nid, 0L)
+            case (nid, s, se4) => if (quantized) (-se4.toDouble, nid, 0L) else (-s, nid, 0L)
           }
           val h = scala.collection.mutable.PriorityQueue.empty[(Long, Double, Long)](worstFirst)
           var i = 0
@@ -138,20 +143,20 @@ object Similarity {
             val (nid, nu) = c(i)
             if (nid != qid) {
               val s = EmbeddingKernels.dot(qu, nu)
-              val se6 = math.round(s * 1e6)
-              h.enqueue((nid, s, se6))
+              val se4 = math.round(s * 1e4)
+              h.enqueue((nid, s, se4))
               if (h.size > k) h.dequeue()
             }
             i += 1
           }
           val sorted = h.dequeueAll.reverse // best first
-          sorted.iterator.zipWithIndex.map { case ((nid, s, se6), r) =>
-            (qid, nid, s, se6, r + 1)
+          sorted.iterator.zipWithIndex.map { case ((nid, s, se4), r) =>
+            (qid, nid, s, se4, r + 1)
           }
         }
       }
-      .toDF("vec_id", "neighbor_id", "sim", "sim_e6", "rank")
-    if (quantized) ranked.select("vec_id", "neighbor_id", "sim_e6", "rank")
+      .toDF("vec_id", "neighbor_id", "sim", "sim_e4", "rank")
+    if (quantized) ranked.select("vec_id", "neighbor_id", "sim_e4", "rank")
     else ranked.select("vec_id", "neighbor_id", "sim", "rank")
   }
 

@@ -78,6 +78,35 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got.size == 31)
   }
 
+  test("durable labels: interrupted distributed run resumes from committed state") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-durable").toString
+    // 31-node chain: min-label propagation needs ~30 iterations — the
+    // worst case where losing progress matters
+    val edges = (0L until 30L).map(i => (i, i + 1)).toDF("src", "dst")
+    val expected = (0L to 30L).map(_ -> 0L).toMap
+
+    // "interrupted" run: only 10 iterations allowed, state committed per iter
+    ConnectedComponents.run(spark, edges, maxIter = 10,
+      localThreshold = 0L, durableDir = Some(dir))
+    assert(ConnectedComponents.lastRunIterations == 10)
+
+    // restart: resumes at iteration 11 instead of propagating from scratch
+    val got = ConnectedComponents.run(spark, edges, maxIter = 50,
+      localThreshold = 0L, durableDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    assert(ConnectedComponents.lastRunIterations < 30,
+      s"resume did not use durable state: ${ConnectedComponents.lastRunIterations} iterations")
+
+    // different edge set under the same dir: state is ignored, not reused
+    val other = Seq((100L, 101L), (101L, 102L)).toDF("src", "dst")
+    val got2 = ConnectedComponents.run(spark, other, maxIter = 50,
+      localThreshold = 0L, durableDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == Map(100L -> 100L, 101L -> 100L, 102L -> 100L))
+  }
+
   test("empty edges yield empty labels") {
     import spark.implicits._
     val got = ConnectedComponents.run(spark,

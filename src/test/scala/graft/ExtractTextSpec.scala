@@ -40,6 +40,24 @@ class ExtractTextSpec extends SparkSpec {
     assert(ExtractText(html) == "a & b <c> \"d\" A B &unknown; &amp")
   }
 
+  test("nbsp decodes to U+00A0 (content, not separator)") {
+    // the documented invariant: &nbsp; is content — it neither collapses
+    // with adjacent ASCII whitespace nor doubles into two spaces
+    assert(ExtractText("<p>a&nbsp;b</p>".getBytes(StandardCharsets.UTF_8)) == "a b")
+    assert(ExtractText("<p>a&nbsp; b</p>".getBytes(StandardCharsets.UTF_8)) == "a  b")
+    assert(ExtractText("<p>a &nbsp;b</p>".getBytes(StandardCharsets.UTF_8)) == "a  b")
+    assert(ExtractText("<p>&nbsp;&nbsp;</p>".getBytes(StandardCharsets.UTF_8)) == "  ")
+  }
+
+  test("supplementary-plane numeric entities decode as surrogate pairs") {
+    val grin = new String(Character.toChars(0x1f600))
+    assert(ExtractText("<p>x &#x1F600; y</p>".getBytes(StandardCharsets.UTF_8)) == s"x $grin y")
+    assert(ExtractText("<p>x &#128512; y</p>".getBytes(StandardCharsets.UTF_8)) == s"x $grin y")
+    // lone surrogates and out-of-range code points pass through literally
+    assert(ExtractText("<p>&#xD800;</p>".getBytes(StandardCharsets.UTF_8)) == "&#xD800;")
+    assert(ExtractText("<p>&#x110000;</p>".getBytes(StandardCharsets.UTF_8)) == "&#x110000;")
+  }
+
   test("charset sniffing: latin1 meta") {
     val text = "café crème"
     val html = (s"""<meta charset="iso-8859-1"><p>$text</p>""")

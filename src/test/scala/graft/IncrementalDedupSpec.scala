@@ -64,6 +64,55 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(c("u://a") == c("u://dup"))
   }
 
+  test("re-crawled url with changed text re-clusters deterministically") {
+    val root = Files.createTempDirectory("graft-inc4").toString
+    val dirs = StateDirs(root)
+
+    // batch 1: near-dup pair -> one cluster with an edge between their nodes
+    IncrementalDedup.processBatch(
+      df(Seq(page("u://a", baseText), page("u://b", nearText))), cfg, dirs, batchId = 1L)
+    val c1 = spark.read.parquet(dirs.clusters).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).map(t => t._1 -> (t._2, t._3)).toMap
+    assert(c1("u://a")._2 == c1("u://b")._2, "near pair must co-cluster")
+
+    // batch 2: u://b re-crawled with COMPLETELY different text
+    IncrementalDedup.processBatch(
+      df(Seq(page("u://b", otherText))), cfg, dirs, batchId = 2L)
+    val c2 = spark.read.parquet(dirs.clusters).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).map(t => t._1 -> (t._2, t._3)).toMap
+    assert(c2.keySet == Set("u://a", "u://b"))
+    assert(c2("u://b")._1 != c1("u://b")._1, "u://b must bind to its NEW content node")
+    assert(c2("u://a")._2 != c2("u://b")._2,
+      "stale edge via the dead node must not keep u://b in u://a's cluster")
+    // rerunning the (idempotent) resolution on the same state is stable:
+    // a third no-op batch leaves assignments identical
+    IncrementalDedup.processBatch(
+      df(Seq(page("u://b", otherText))), cfg, dirs, batchId = 3L)
+    val c3 = spark.read.parquet(dirs.clusters).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).map(t => t._1 -> (t._2, t._3)).toMap
+    assert(c3 == c2)
+  }
+
+  test("unchanged batches do not rewrite state or clusters") {
+    val root = Files.createTempDirectory("graft-inc5").toString
+    val dirs = StateDirs(root)
+    val batch = df(Seq(page("u://a", baseText), page("u://b", nearText)))
+    IncrementalDedup.processBatch(batch, cfg, dirs, batchId = 1L)
+
+    def snapshot(dir: String): Map[String, Long] = {
+      val d = java.nio.file.Paths.get(dir)
+      import scala.jdk.CollectionConverters._
+      Files.walk(d).iterator().asScala.filter(Files.isRegularFile(_))
+        .map(p => p.toString -> Files.getLastModifiedTime(p).toMillis).toMap
+    }
+    val before = (snapshot(dirs.clusters), snapshot(dirs.members), snapshot(dirs.signatures))
+
+    // identical batch re-delivered (e.g. replay after a restart): no-op
+    IncrementalDedup.processBatch(batch, cfg, dirs, batchId = 2L)
+    val after = (snapshot(dirs.clusters), snapshot(dirs.members), snapshot(dirs.signatures))
+    assert(after == before, "unchanged batch must not rewrite state or clusters")
+  }
+
   test("streaming query end-to-end via MemoryStream + AvailableNow") {
     val root = Files.createTempDirectory("graft-inc3").toString
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

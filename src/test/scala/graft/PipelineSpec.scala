@@ -148,10 +148,28 @@ class PipelineSpec extends SparkSpec {
     assert(u6.head.getAs[Int]("n_exact_subgroups") == 2)
   }
 
+  test("verify partitioning bounds hub skew (salted repartition key)") {
+    import spark.implicits._
+    // one hub content paired against 1500 others: with an id_a-only key the
+    // whole CPU-bound verify load of the hub lands in ONE partition
+    val hub = 0L
+    val candidates = (1L to 1500L).map(i => (hub, i)).toDF("id_a", "id_b")
+    val contents = (0L to 1500L).map(i => (i, s"text body $i")).toDF("node_id", "text")
+    val hubCfg = cfg.copy(verifyPartitions = 8) // fixed for a deterministic bound
+    val perPartition = Pipeline.verifyInput(candidates, contents, hubCfg)
+      .mapPartitions(it => Iterator(it.size))
+      .collect()
+    assert(perPartition.sum == 1500)
+    assert(perPartition.count(_ > 0) >= 4,
+      s"hub pairs not spread: ${perPartition.mkString(",")}")
+    assert(perPartition.max <= 600,
+      s"hub skew unbounded: max partition ${perPartition.max} of 1500")
+  }
+
   test("metrics rows written for every stage") {
     val stages = result.metrics.map(_.stage)
-    assert(stages.toSet == Set("st0_extracted", "st1_signatures", "st2_candidates",
-      "st3_verified", "st4_clusters", "st5_report"))
+    assert(stages.toSet == Set("st0_extracted", "st0b_contents", "st1_signatures",
+      "st2_candidates", "st3_verified", "st4_clusters", "st5_report"))
     assert(result.metrics.forall(_.wall_ms >= 0))
   }
 }

@@ -51,7 +51,8 @@ class ResumeSpec extends SparkSpec {
     val loaded = r.metrics.filter(_.wall_ms == 0).map(_.stage).toSet
     assert(loaded.contains("st0_extracted") && loaded.contains("st1_signatures"))
     val computed = r.metrics.filterNot(m => loaded.contains(m.stage)).map(_.stage).toSet
-    assert(computed == Set("st2_candidates", "st3_verified", "st4_clusters", "st5_report"))
+    assert(computed == Set("st0b_contents", "st2_candidates", "st3_verified",
+      "st4_clusters", "st5_report"))
     assert(r.report.count() > 0)
   }
 
@@ -61,7 +62,7 @@ class ResumeSpec extends SparkSpec {
     val io = new ParquetSnapshotIO(root, cfg.configHash)
     val r = Pipeline.run(spark, pages, cfg, io)
 
-    Seq("st0_extracted", "st1_signatures", "st2_candidates",
+    Seq("st0_extracted", "st0b_contents", "st1_signatures", "st2_candidates",
       "st3_verified", "st4_clusters", "st5_report").foreach { stage =>
       val m = io.metrics(spark, stage)
       assert(m.isDefined, s"no metrics table for $stage")
