@@ -45,9 +45,66 @@ object IncrementalDedup {
     val edges = s"$root/edges"
     val clusters = s"$root/clusters"
     val checkpoint = s"$root/_checkpoint"
+    val versionFile = s"$root/_state_version.json"
   }
 
+  /** Current state-schema version. History:
+    *  1 — round-1 layout: members(url, node_id, n_bytes), no re-crawl
+    *      invalidation possible;
+    *  2 — members carry (warc_ts, batch_id) so the latest binding per url
+    *      wins deterministically.
+    * Mirrors the reference's schema_version gate + v<=2 -> v3 migration
+    * (/root/reference/src/file_db.rs:66-77, 457-511): older versions are
+    * migrated in place, NEWER versions are refused (never silently
+    * reinterpreted by old code). */
+  final val StateVersion = 2
+
   private def exists(p: String): Boolean = Files.exists(Paths.get(p))
+
+  private val VersionField = """"version"\s*:\s*(\d+)""".r
+
+  private def readVersion(dirs: StateDirs): Option[Int] =
+    if (!exists(dirs.versionFile)) None
+    else VersionField.findFirstMatchIn(
+      new String(Files.readAllBytes(Paths.get(dirs.versionFile)),
+        java.nio.charset.StandardCharsets.UTF_8)).map(_.group(1).toInt)
+
+  private def writeVersion(dirs: StateDirs): Unit = {
+    Files.createDirectories(Paths.get(dirs.root))
+    val tmp = Paths.get(dirs.root, s".ver-tmp-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, s"""{"version": $StateVersion}""".getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(dirs.versionFile),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Version gate + in-place migration, run once per batch (cheap: a file
+    * read once current). v1 members gain warc_ts = epoch, batch_id = -1 —
+    * strictly older than any live batch, so any future re-crawl of a v1 url
+    * supersedes its binding. A version from the future is refused. */
+  private[streaming] def ensureStateVersion(spark: SparkSession, dirs: StateDirs): Unit = {
+    readVersion(dirs) match {
+      case Some(StateVersion) => // current
+      case Some(v) if v > StateVersion =>
+        throw new IllegalStateException(
+          s"incremental state at ${dirs.root} has schema version $v, newer than " +
+          s"supported $StateVersion — refusing to reinterpret (upgrade the library)")
+      case _ => // absent or older: migrate what exists, then stamp
+        if (exists(dirs.members)) {
+          val m = spark.read.parquet(dirs.members)
+          if (!m.columns.contains("batch_id")) {
+            val migrated = m
+              .withColumn("warc_ts", lit(new java.sql.Timestamp(0L)))
+              .withColumn("batch_id", lit(-1L))
+              .select("url", "node_id", "n_bytes", "warc_ts", "batch_id")
+              .localCheckpoint(true) // materialize BEFORE overwriting the source
+            migrated.write.mode("overwrite").parquet(dirs.members)
+          }
+        }
+        writeVersion(dirs)
+    }
+  }
 
   private def readOrEmpty(spark: SparkSession, path: String, schemaOf: DataFrame): DataFrame =
     if (exists(path)) spark.read.parquet(path)
@@ -66,6 +123,7 @@ object IncrementalDedup {
     * clusters are left untouched. */
   def processBatch(batch: DataFrame, cfg: GraftConfig, dirs: StateDirs, batchId: Long = 0L): Unit = {
     val spark = batch.sparkSession
+    ensureStateVersion(spark, dirs)
     if (batch.isEmpty) return
 
     val extracted = Pipeline.extract(batch, cfg).localCheckpoint(false)

@@ -113,6 +113,44 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(after == before, "unchanged batch must not rewrite state or clusters")
   }
 
+  test("v1 state migrates in place; future-versioned state is refused") {
+    val root = Files.createTempDirectory("graft-inc6").toString
+    val dirs = StateDirs(root)
+
+    // hand-build round-1-shaped (v1) state: members without (warc_ts,
+    // batch_id), no version file — exactly what a v1 deployment left behind
+    val extractedV1 = graft.Pipeline.extract(df(Seq(page("u://old", baseText))), cfg)
+    extractedV1.select("url", "node_id", "n_bytes").write.parquet(dirs.members)
+    val sigsV1 = graft.Pipeline.signatures(graft.Pipeline.distinctContents(extractedV1), cfg)
+    sigsV1.write.parquet(dirs.signatures)
+    sigsV1.selectExpr("node_id", "explode(band_hashes) AS band_key")
+      .write.parquet(dirs.bandIndex)
+
+    // first batch against old state triggers migration, then works normally:
+    // the new near-dup of the v1 url clusters with it
+    IncrementalDedup.processBatch(df(Seq(page("u://new", nearText))), cfg, dirs, batchId = 5L)
+    val m = spark.read.parquet(dirs.members)
+    assert(m.columns.toSet == Set("url", "node_id", "n_bytes", "warc_ts", "batch_id"))
+    val c = spark.read.parquet(dirs.clusters).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(c.keySet == Set("u://old", "u://new"))
+    assert(c("u://old") == c("u://new"), "migrated v1 member must still cluster")
+    // migrated rows are strictly older than any live batch -> a re-crawl of
+    // the v1 url supersedes it
+    IncrementalDedup.processBatch(df(Seq(page("u://old", otherText))), cfg, dirs, batchId = 6L)
+    val c2 = spark.read.parquet(dirs.clusters).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(c2("u://old") != c2("u://new"))
+
+    // a future schema version is refused, not silently reinterpreted
+    java.nio.file.Files.write(java.nio.file.Paths.get(dirs.versionFile),
+      s"""{"version": ${IncrementalDedup.StateVersion + 1}}""".getBytes)
+    val e = intercept[IllegalStateException] {
+      IncrementalDedup.processBatch(df(Seq(page("u://x", baseText))), cfg, dirs, batchId = 7L)
+    }
+    assert(e.getMessage.contains("refusing"))
+  }
+
   test("streaming query end-to-end via MemoryStream + AvailableNow") {
     val root = Files.createTempDirectory("graft-inc3").toString
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
