@@ -20,7 +20,7 @@ object Bench {
       .master(s"local[$cpus]")
       .appName(s"graft-bench-$cpus")
       .config("spark.sql.shuffle.partitions", cpus.toString)
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       // dedup rows are tiny but CPU-heavy: let AQE keep small shuffles
       // parallel instead of coalescing them to one serial partition
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64kb")
@@ -75,6 +75,9 @@ object Bench {
     // Pipeline scaling corpus: sized so parallel compute dominates the
     // ~3-6 s serial floor (driver planning + AQE rounds + shuffle-stage
     // scheduling) the way production minutes-long stages would.
+    // 120k units (158.4k docs) is the measured sweet spot: large enough
+    // that compute dominates the ~3-4 s serial floor, below the local[32]
+    // cache-write bandwidth knee this VM shows at ~200k+ docs (BASELINE.md).
     val scalingUnits = sys.env.getOrElse("SPARK_GRAFT_SCALE_UNITS", "120000").toLong
     // Signature-stage corpus (independent knob; 1 unit = 1 distinct doc via
     // PagesGen.syntheticContents): sized so the timed narrow map dominates

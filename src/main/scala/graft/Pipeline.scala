@@ -264,9 +264,11 @@ object Pipeline {
     // full contents table (the whole corpus's text) is never shuffled here,
     // only the dup-set texts. At 100 TB this is the difference between
     // shuffling ~TBs twice and shuffling the dup set.
+    // No distinct on ids: left_semi ignores right-side duplicates, and
+    // skipping it saves a whole shuffle stage (AQE broadcasts the id set
+    // when it fits; when it doesn't, the join shuffles it once either way).
     val ids = candidates.select(col("id_a").as("node_id"))
       .union(candidates.select(col("id_b").as("node_id")))
-      .distinct()
     val need = contents.join(ids, Seq("node_id"), "left_semi")
     val a = need.select(col("node_id").as("id_a"), col("text").as("text_a"))
     val b = need.select(col("node_id").as("id_b"), col("text").as("text_b"))

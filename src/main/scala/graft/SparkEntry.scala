@@ -125,6 +125,25 @@ object SparkEntry {
         .orderBy("cluster_key", "url")
     }),
 
+    // ---- standalone SimHash tier: Hamming distance over LSH candidates
+    // (rows-only: 64-bit SimHash values are a custom kernel, not ANSI-SQL;
+    // the kernel's separation property is gated in MinHasherSpec and the
+    // hamming gate participates in the oracle-checked pipeline via
+    // pipeline_clusters' pass rule)
+    "simhash_near" -> ((s, dir) => {
+      val contents = Pipeline.distinctContents(
+        Pipeline.extract(PagesGen.fromDocuments(s, dir), cfg))
+      val sigs = Pipeline.signatures(contents, cfg)
+      val sh = sigs.select(col("node_id"), col("simhash"))
+      Pipeline.candidatePairs(sigs, cfg).pairs
+        .join(sh.withColumnRenamed("node_id", "id_a").withColumnRenamed("simhash", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("node_id", "id_b").withColumnRenamed("simhash", "sh_b"), "id_b")
+        .select(col("id_a"), col("id_b"),
+          bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int").as("hamming"))
+        .where(col("hamming") <= cfg.maxHamming)
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- ST0 exact-identity group-size histogram: extract stage vs pure SQL
     "exact_group_sizes" -> ((s, dir) => {
       Pipeline.extract(PagesGen.fromDocuments(s, dir), cfg)
@@ -161,6 +180,16 @@ object SparkEntry {
     "ivf_top3" -> ((s, dir) =>
       Similarity.ivfTopK(emb(s, dir), 3, nlist = 16, nprobe = 4)
         .select("vec_id", "neighbor_id", "rank").orderBy("vec_id", "rank")),
+
+    // ---- embedding-cosine near-dup clustering, hash-checked: the corpus
+    // plants a near copy (per-dim scale 0.96..1.04, cosine >= 0.999) for
+    // every vec_id % 5 == 0 vector while all cross-pairs stay <= ~0.62
+    // (measured, BASELINE.md), so LSH detection is certain (miss prob
+    // ~1e-37), the 0.9 verify gate separates exactly, and membership is a
+    // pure function of the planted structure — ANSI-SQL-expressible.
+    "emb_neardup" -> ((s, dir) =>
+      Similarity.nearDupClusters(embWithNearDups(s, dir), minCos = 0.9)
+        .orderBy("vec_id")),
 
     // ===================== text analysis (training-data ops) =============
 
@@ -312,6 +341,20 @@ object SparkEntry {
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Embedding corpus with planted near-duplicates, derived
+    * deterministically from the shared embeddings table (the vector analog
+    * of PagesGen.fromDocuments): every vec_id % 5 == 0 vector gains a near
+    * copy (vec_id + 1,000,000) scaled per-dimension by 0.96..1.04. */
+  private def embWithNearDups(s: SparkSession, dir: String): DataFrame = {
+    val base = emb(s, dir).select(col("vec_id"), col("embedding"))
+    val near = emb(s, dir).where(pmod(col("vec_id"), lit(5)) === 0)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x * (lit(0.96f) + lit(0.02f) *
+            pmod(col("vec_id") * 7 + i, lit(5)).cast("float"))).as("embedding"))
+    base.union(near)
+  }
 
   /** DuckDB-dialect oracles over the same parquet tables in sfDir.
     * `pages` reconstruction mirrors PagesGen.fromDocuments exactly. */
@@ -494,6 +537,12 @@ object SparkEntry {
     "props_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+    "emb_neardup" ->
+      """SELECT vec_id, cluster_id FROM (
+        |  SELECT vec_id, vec_id AS cluster_id FROM embeddings WHERE vec_id % 5 = 0
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, vec_id FROM embeddings WHERE vec_id % 5 = 0
+        |) ORDER BY vec_id""".stripMargin,
     "pipeline_membership" ->
       """WITH RECURSIVE pages AS (
         |  SELECT 'https://host' || CAST(doc_id % 97 AS VARCHAR) || '.example/d/' || CAST(doc_id AS VARCHAR) || '/0' AS url, text FROM documents
