@@ -47,7 +47,14 @@ object GraftExtensions {
         (args: Seq[Expression]) => L2NormalizeExpr(args.head)),
       (FunctionIdentifier("dot_product"),
         info("dot_product", "dot_product(a array<double>, b array<double>) - double"),
-        (args: Seq[Expression]) => DotProductExpr(args(0), args(1)))
+        (args: Seq[Expression]) => DotProductExpr(args(0), args(1))),
+      (FunctionIdentifier("embedding_band_keys"),
+        info("embedding_band_keys",
+          "embedding_band_keys(embedding array<float>) - array<long> sign-LSH band keys at the default AnnConfig"),
+        (args: Seq[Expression]) => {
+          val ann = graft.similarity.Similarity.AnnConfig()
+          EmbeddingBandKeysExpr(args.head, ann.bits, ann.bands, ann.seed)
+        })
     )
   }
 

@@ -67,4 +67,16 @@ class PlanSpec extends SparkSpec {
     // optimizer keeps a Filter node below the projection that computes md5
     assert(plan.contains("Filter"), s"length/null guard missing:\n${plan.take(1500)}")
   }
+
+  test("verify input prunes contents with a semi-join before the wide joins") {
+    import spark.implicits._
+    // at 100 TB the contents table is the whole corpus text: the plan must
+    // reduce it through a LeftSemi against the candidate id set instead of
+    // shuffling it into the pair joins wholesale
+    val candidates = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val contents = (1L to 100L).map(i => (i, s"t$i")).toDF("node_id", "text")
+    val plan = Pipeline.verifyInput(candidates, contents, SparkEntry.cfg)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("LeftSemi"), s"no semi-join prune in verify input:\n${plan.take(2000)}")
+  }
 }
