@@ -16,7 +16,8 @@ import graft.model.GraftConfig
   *   signatures(node_id, n_bytes, minhash, simhash, band_hashes)   [state]
   *   members(url, node_id, n_bytes, warc_ts, batch_id)              [state]
   *   edges(id_a, id_b)                                              [state]
-  *   clusters(url, cluster_id, ...)                                 [output]
+  *   clusters(url, node_id, cluster_id, n_bytes, warc_ts, batch_id) [state+output:
+  *     the resolved latest binding per url with its component label]
   *
   * Per batch: extract -> new distinct contents (anti-join on stored
   * signatures) -> signatures for new contents only -> LSH candidates of
@@ -33,8 +34,10 @@ import graft.model.GraftConfig
   *
   * Scale notes: per-batch work is O(batch) signatures + an equi-join of the
   * batch's band keys against the state band table (pushdown-friendly
-  * parquet; Iceberg at real scale); CC cost is bounded by the accumulated
-  * dup-edge set, not the corpus.
+  * parquet; Iceberg at real scale); reclustering is bounded to the
+  * components TOUCHED by the batch (new bindings, superseded bindings, new
+  * edges) — untouched clusters are carried forward verbatim, so per-batch
+  * CC cost is O(affected dup-graph), not O(all accumulated edges).
   */
 object IncrementalDedup {
 
@@ -52,12 +55,15 @@ object IncrementalDedup {
     *  1 — round-1 layout: members(url, node_id, n_bytes), no re-crawl
     *      invalidation possible;
     *  2 — members carry (warc_ts, batch_id) so the latest binding per url
-    *      wins deterministically.
+    *      wins deterministically;
+    *  3 — clusters carry the resolved (warc_ts, batch_id) binding per url,
+    *      enabling the bounded affected-component recluster (migration =
+    *      one full rebuild from members+edges).
     * Mirrors the reference's schema_version gate + v<=2 -> v3 migration
     * (/root/reference/src/file_db.rs:66-77, 457-511): older versions are
     * migrated in place, NEWER versions are refused (never silently
     * reinterpreted by old code). */
-  final val StateVersion = 2
+  final val StateVersion = 3
 
   private def exists(p: String): Boolean = Files.exists(Paths.get(p))
 
@@ -82,8 +88,10 @@ object IncrementalDedup {
   /** Version gate + in-place migration, run once per batch (cheap: a file
     * read once current). v1 members gain warc_ts = epoch, batch_id = -1 —
     * strictly older than any live batch, so any future re-crawl of a v1 url
-    * supersedes its binding. A version from the future is refused. */
-  private[streaming] def ensureStateVersion(spark: SparkSession, dirs: StateDirs): Unit = {
+    * supersedes its binding; v<=2 clusters are rebuilt from ground truth
+    * (members + edges) into the v3 resolved-binding shape. A version from
+    * the future is refused. */
+  private[streaming] def ensureStateVersion(spark: SparkSession, cfg: GraftConfig, dirs: StateDirs): Unit = {
     readVersion(dirs) match {
       case Some(StateVersion) => // current
       case Some(v) if v > StateVersion =>
@@ -101,6 +109,7 @@ object IncrementalDedup {
               .localCheckpoint(true) // materialize BEFORE overwriting the source
             migrated.write.mode("overwrite").parquet(dirs.members)
           }
+          rebuildClusters(spark, cfg, dirs) // v<=2 clusters -> v3 shape
         }
         writeVersion(dirs)
     }
@@ -123,7 +132,7 @@ object IncrementalDedup {
     * clusters are left untouched. */
   def processBatch(batch: DataFrame, cfg: GraftConfig, dirs: StateDirs, batchId: Long = 0L): Unit = {
     val spark = batch.sparkSession
-    ensureStateVersion(spark, dirs)
+    ensureStateVersion(spark, cfg, dirs)
     if (batch.isEmpty) return
 
     val extracted = Pipeline.extract(batch, cfg).localCheckpoint(false)
@@ -195,38 +204,116 @@ object IncrementalDedup {
         if (est >= estMin || ham <= maxHam) Some((idA, idB)) else None
       }.toDF("id_a", "id_b")
 
-    // ---- append state, recluster, rewrite output
+    // ---- append state
     appendParquet(sigs.drop("text"), dirs.signatures)
     appendParquet(newBands, dirs.bandIndex)
     appendParquet(newMemberRows, dirs.members)
     appendParquet(verified, dirs.edges)
 
-    // Latest binding per url, deterministic: (batch_id, warc_ts, node_id)
-    // struct max — a re-crawled url with changed text re-clusters onto its
-    // NEW content node; its old binding row stays in state but never wins.
-    val allMembers = spark.read.parquet(dirs.members)
-    val resolved = allMembers
+    // ---- recluster, bounded to AFFECTED components.
+    // Closure argument: an old component's labels can change only through
+    // (a) a new edge — whose endpoints are batch-touched nodes — or (b) a
+    // node death — which only happens when one of its urls re-binds, so the
+    // node is batch-touched too. Components not intersecting the touched
+    // set A0 are therefore carried forward verbatim; per-batch CC work is
+    // O(affected dup-graph), not O(all accumulated edges).
+    if (!exists(dirs.clusters)) {
+      rebuildClusters(spark, cfg, dirs) // first batch ever / state recovery
+      return
+    }
+    val prevC = spark.read.parquet(dirs.clusters).localCheckpoint(false)
+    val batchUrls = newMemberRows.select("url").distinct()
+
+    // winner binding per batch url: its previous binding vs the batch rows,
+    // deterministic (batch_id, warc_ts, node_id) struct max
+    val prevOfBatch = prevC.join(batchUrls, Seq("url"), "left_semi")
+      .select("url", "node_id", "n_bytes", "warc_ts", "batch_id")
+      .localCheckpoint(false)
+    val winners = newMemberRows.select("url", "node_id", "n_bytes", "warc_ts", "batch_id")
+      .unionByName(prevOfBatch)
       .groupBy("url")
       .agg(max(struct(col("batch_id"), col("warc_ts"), col("node_id"), col("n_bytes"))).as("m"))
-      .select(col("url"), col("m.node_id").as("node_id"), col("m.n_bytes").as("n_bytes"))
+      .select(col("url"), col("m.node_id").as("node_id"), col("m.n_bytes").as("n_bytes"),
+        col("m.warc_ts").as("warc_ts"), col("m.batch_id").as("batch_id"))
       .localCheckpoint(false)
 
-    // Retire edges of dead content: a node backing zero live urls must not
-    // bridge clusters (stale-content invalidation at cluster time).
-    val liveA = resolved.select(col("node_id").as("id_a")).distinct()
-    val liveB = liveA.select(col("id_a").as("id_b"))
-    val liveEdges = spark.read.parquet(dirs.edges).distinct()
-      .join(liveA, Seq("id_a"), "left_semi")
-      .join(liveB, Seq("id_b"), "left_semi")
+    // A0 = batch-touched nodes: new winners, superseded old bindings, and
+    // endpoints of this batch's new edges
+    val a0 = winners.select("node_id")
+      .union(prevOfBatch.select("node_id"))
+      .union(verified.select(col("id_a").as("node_id")))
+      .union(verified.select(col("id_b").as("node_id")))
+      .distinct()
+      .localCheckpoint(false)
 
+    val affClusters = prevC.join(a0, Seq("node_id"), "left_semi")
+      .select("cluster_id").distinct().localCheckpoint(false)
+
+    // resolved members of the affected region: carried bindings of affected
+    // clusters (non-batch urls, unchanged) + the batch winners
+    val carriedAff = prevC.join(affClusters, Seq("cluster_id"), "left_semi")
+      .join(batchUrls, Seq("url"), "left_anti")
+      .select("url", "node_id", "n_bytes", "warc_ts", "batch_id")
+    val affResolved = carriedAff.unionByName(winners).localCheckpoint(false)
+
+    // edges among LIVE affected nodes (dead-node edges retired here — the
+    // reference's changed-file invalidation at cluster time)
+    val liveAffA = affResolved.select(col("node_id").as("id_a")).distinct()
+    val affEdges = spark.read.parquet(dirs.edges).distinct()
+      .join(liveAffA, Seq("id_a"), "left_semi")
+      .join(liveAffA.select(col("id_a").as("id_b")), Seq("id_b"), "left_semi")
+
+    val cc = graft.cluster.ConnectedComponents.run(spark, affEdges, cfg.maxCcIterations)
+    val newAff = affResolved
+      .join(cc, affResolved("node_id") === cc("id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("node_id")))
+      .select("url", "node_id", "cluster_id", "n_bytes", "warc_ts", "batch_id")
+
+    val untouched = prevC.join(affClusters, Seq("cluster_id"), "left_anti")
+      .select("url", "node_id", "cluster_id", "n_bytes", "warc_ts", "batch_id")
+    writeClustersAtomic(untouched.unionByName(newAff), dirs)
+  }
+
+  /** Full recluster from ground-truth state (members + edges): latest
+    * binding per url, live-edge CC, every url labeled. Used for the first
+    * batch, v<3 migration, and cluster-state recovery; per-batch processing
+    * uses the bounded affected-component path instead. */
+  private[streaming] def rebuildClusters(spark: SparkSession, cfg: GraftConfig, dirs: StateDirs): Unit = {
+    if (!exists(dirs.members)) return
+    val resolved = spark.read.parquet(dirs.members)
+      .groupBy("url")
+      .agg(max(struct(col("batch_id"), col("warc_ts"), col("node_id"), col("n_bytes"))).as("m"))
+      .select(col("url"), col("m.node_id").as("node_id"), col("m.n_bytes").as("n_bytes"),
+        col("m.warc_ts").as("warc_ts"), col("m.batch_id").as("batch_id"))
+      .localCheckpoint(false)
+    val liveA = resolved.select(col("node_id").as("id_a")).distinct()
+    val liveEdges =
+      (if (exists(dirs.edges)) spark.read.parquet(dirs.edges).distinct()
+       else spark.emptyDataFrame.select(lit(0L).as("id_a"), lit(0L).as("id_b")).limit(0))
+        .join(liveA, Seq("id_a"), "left_semi")
+        .join(liveA.select(col("id_a").as("id_b")), Seq("id_b"), "left_semi")
     val cc = graft.cluster.ConnectedComponents.run(spark, liveEdges, cfg.maxCcIterations)
     val clusters = resolved
       .join(cc, resolved("node_id") === cc("id"), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("node_id")))
-      .select("url", "node_id", "cluster_id", "n_bytes")
-    // overwrite via temp + swap-less rewrite (parquet overwrite is atomic
-    // enough for the sandbox; Iceberg snapshot commit at real scale)
-    clusters.write.mode("overwrite").parquet(dirs.clusters)
+      .select("url", "node_id", "cluster_id", "n_bytes", "warc_ts", "batch_id")
+    writeClustersAtomic(clusters, dirs)
+  }
+
+  /** The clusters output derives from (and replaces) the previous clusters
+    * table, so the write goes to a fresh temp dir and swaps in after it
+    * completes — never an in-place overwrite of its own input. (Iceberg
+    * snapshot commit is the real-cluster equivalent.) */
+  private def writeClustersAtomic(df: DataFrame, dirs: StateDirs): Unit = {
+    val tmp = s"${dirs.clusters}.tmp-${java.util.UUID.randomUUID()}"
+    df.write.mode("overwrite").parquet(tmp)
+    val target = Paths.get(dirs.clusters)
+    if (Files.exists(target)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(target).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+    }
+    Files.move(Paths.get(tmp), target)
   }
 
   private def appendParquet(df: DataFrame, path: String): Unit =

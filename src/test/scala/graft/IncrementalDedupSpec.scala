@@ -5,6 +5,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 
 import graft.model.GraftConfig
 import graft.streaming.IncrementalDedup
@@ -111,6 +112,41 @@ class IncrementalDedupSpec extends SparkSpec {
     IncrementalDedup.processBatch(batch, cfg, dirs, batchId = 2L)
     val after = (snapshot(dirs.clusters), snapshot(dirs.members), snapshot(dirs.signatures))
     assert(after == before, "unchanged batch must not rewrite state or clusters")
+  }
+
+  test("recluster is bounded to affected components (untouched clusters carried verbatim)") {
+    val root = Files.createTempDirectory("graft-inc7").toString
+    val dirs = StateDirs(root)
+    val gText = (1 to 60).map(i => s"gee$i").mkString(" ")
+    val hText = (1 to 60).map(i => if (i == 30) "zqh" else s"gee$i").mkString(" ")
+
+    // batch 1: two independent near-dup clusters {a,b} and {g,h}
+    IncrementalDedup.processBatch(
+      df(Seq(page("u://a", baseText), page("u://b", nearText),
+        page("u://g", gText), page("u://h", hText))), cfg, dirs, batchId = 1L)
+    val c1 = spark.read.parquet(dirs.clusters).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(c1("u://a") == c1("u://b") && c1("u://g") == c1("u://h"))
+    assert(c1("u://a") != c1("u://g"))
+
+    // sabotage the {g,h} edge in state: if the next batch re-ran CC
+    // globally, g and h would fall apart; the bounded recluster must carry
+    // their (untouched) cluster rows verbatim instead
+    val ghCluster = c1("u://g")
+    val edges = spark.read.parquet(dirs.edges).localCheckpoint(true)
+    val gNodes = spark.read.parquet(dirs.clusters)
+      .where(col("cluster_id") === ghCluster).select("node_id").collect().map(_.getLong(0)).toSet
+    val pruned = edges.where(!col("id_a").isin(gNodes.toSeq: _*)).localCheckpoint(true)
+    pruned.write.mode("overwrite").parquet(dirs.edges)
+
+    // batch 2 touches only the {a,b} region (new near copy of a)
+    val cText = baseText.replace("tok7", "zqc")
+    IncrementalDedup.processBatch(df(Seq(page("u://c", cText))), cfg, dirs, batchId = 2L)
+    val c2 = spark.read.parquet(dirs.clusters).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(c2("u://c") == c2("u://a"), "new near copy must join the touched cluster")
+    assert(c2("u://g") == ghCluster && c2("u://h") == ghCluster,
+      "untouched cluster was recomputed instead of carried (bounded recluster broken)")
   }
 
   test("v1 state migrates in place; future-versioned state is refused") {
