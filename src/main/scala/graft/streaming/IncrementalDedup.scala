@@ -138,14 +138,22 @@ object IncrementalDedup {
     val extracted = Pipeline.extract(batch, cfg).localCheckpoint(false)
     val newContents = Pipeline.distinctContents(extracted)
 
-    // ---- skip unchanged batches: if every (url, node_id) binding already
-    // exists, no state row and no cluster assignment can change.
+    // ---- skip unchanged batches: a batch row matters only if it would
+    // change its url's CURRENT binding (new url, changed content, or a
+    // REVERT to previously-seen content — comparing against full member
+    // history would wrongly swallow the revert case). No changed bindings
+    // means no state row and no cluster assignment can change.
     val memberRows = extracted
       .select("url", "node_id", "n_bytes", "warc_ts")
       .withColumn("batch_id", lit(batchId))
-    val existingMembers = readOrEmpty(spark, dirs.members, memberRows)
+    val prevC: DataFrame =
+      if (exists(dirs.clusters)) spark.read.parquet(dirs.clusters).localCheckpoint(false)
+      else null
+    val currentBindings =
+      if (prevC != null) prevC.select("url", "node_id")
+      else readOrEmpty(spark, dirs.members, memberRows).select("url", "node_id").limit(0)
     val newMemberRows = memberRows
-      .join(existingMembers.select("url", "node_id"), Seq("url", "node_id"), "left_anti")
+      .join(currentBindings, Seq("url", "node_id"), "left_anti")
       .localCheckpoint(false)
     if (newMemberRows.isEmpty) return
 
@@ -217,11 +225,10 @@ object IncrementalDedup {
     // node is batch-touched too. Components not intersecting the touched
     // set A0 are therefore carried forward verbatim; per-batch CC work is
     // O(affected dup-graph), not O(all accumulated edges).
-    if (!exists(dirs.clusters)) {
+    if (prevC == null) {
       rebuildClusters(spark, cfg, dirs) // first batch ever / state recovery
       return
     }
-    val prevC = spark.read.parquet(dirs.clusters).localCheckpoint(false)
     val batchUrls = newMemberRows.select("url").distinct()
 
     // winner binding per batch url: its previous binding vs the batch rows,
@@ -237,12 +244,28 @@ object IncrementalDedup {
         col("m.warc_ts").as("warc_ts"), col("m.batch_id").as("batch_id"))
       .localCheckpoint(false)
 
-    // A0 = batch-touched nodes: new winners, superseded old bindings, and
-    // endpoints of this batch's new edges
+    // Resurrected nodes — live now but not live before (a url reverting to
+    // earlier content) — carry PRE-EXISTING edges into components the batch
+    // never touched directly; their edge-state neighbors must join the
+    // affected set or a revert would miss its re-merge. (Brand-new content
+    // has only this batch's edges, which are covered by E_new below.)
+    val edgesState = spark.read.parquet(dirs.edges).distinct().localCheckpoint(false)
+    val newlyLive = winners.select("node_id")
+      .join(prevC.select("node_id"), Seq("node_id"), "left_anti")
+    val resurrectNeighbors = edgesState
+      .join(newlyLive.withColumnRenamed("node_id", "id_a"), Seq("id_a"), "left_semi")
+      .select(col("id_b").as("node_id"))
+      .union(edgesState
+        .join(newlyLive.withColumnRenamed("node_id", "id_b"), Seq("id_b"), "left_semi")
+        .select(col("id_a").as("node_id")))
+
+    // A0 = batch-touched nodes: new winners, superseded old bindings,
+    // endpoints of this batch's new edges, and resurrection neighbors
     val a0 = winners.select("node_id")
       .union(prevOfBatch.select("node_id"))
       .union(verified.select(col("id_a").as("node_id")))
       .union(verified.select(col("id_b").as("node_id")))
+      .union(resurrectNeighbors)
       .distinct()
       .localCheckpoint(false)
 
@@ -259,7 +282,7 @@ object IncrementalDedup {
     // edges among LIVE affected nodes (dead-node edges retired here — the
     // reference's changed-file invalidation at cluster time)
     val liveAffA = affResolved.select(col("node_id").as("id_a")).distinct()
-    val affEdges = spark.read.parquet(dirs.edges).distinct()
+    val affEdges = edgesState
       .join(liveAffA, Seq("id_a"), "left_semi")
       .join(liveAffA.select(col("id_a").as("id_b")), Seq("id_b"), "left_semi")
 

@@ -149,6 +149,35 @@ class IncrementalDedupSpec extends SparkSpec {
       "untouched cluster was recomputed instead of carried (bounded recluster broken)")
   }
 
+  test("revert to earlier content resurrects the node and re-merges its cluster") {
+    val root = Files.createTempDirectory("graft-inc8").toString
+    val dirs = StateDirs(root)
+
+    // batch 1: url1 (base) near-dups url2 -> one cluster, edge in state
+    IncrementalDedup.processBatch(
+      df(Seq(page("u://1", baseText), page("u://2", nearText))), cfg, dirs, batchId = 1L)
+    val c1 = spark.read.parquet(dirs.clusters).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(c1("u://1")._2 == c1("u://2")._2)
+    val nodeA = c1("u://1")._1
+
+    // batch 2: url1 re-crawls to unrelated content -> split
+    IncrementalDedup.processBatch(df(Seq(page("u://1", otherText))), cfg, dirs, batchId = 2L)
+    val c2 = spark.read.parquet(dirs.clusters).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(c2("u://1")._2 != c2("u://2")._2)
+
+    // batch 3: url1 REVERTS to the original text — the node resurrects with
+    // its pre-existing edge, so url1 and url2 must co-cluster again even
+    // though this batch computes no new signatures or edges
+    IncrementalDedup.processBatch(df(Seq(page("u://1", baseText))), cfg, dirs, batchId = 3L)
+    val c3 = spark.read.parquet(dirs.clusters).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(c3("u://1")._1 == nodeA, "revert must re-bind to the original content node")
+    assert(c3("u://1")._2 == c3("u://2")._2,
+      "resurrected node's pre-existing edge must re-merge the clusters")
+  }
+
   test("v1 state migrates in place; future-versioned state is refused") {
     val root = Files.createTempDirectory("graft-inc6").toString
     val dirs = StateDirs(root)
