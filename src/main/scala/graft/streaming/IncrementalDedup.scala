@@ -24,7 +24,8 @@ import graft.model.GraftConfig
   * (new x (new + stored)) via band-key join -> verify (new texts join the
   * batch; stored side keeps no text, so verification uses signature-level
   * gates: MinHash-estimated Jaccard and SimHash Hamming) -> append edges ->
-  * connected components over all edges -> rewrite clusters.
+  * connected components over the AFFECTED components only -> swap in the
+  * updated clusters table (untouched clusters carried forward verbatim).
   *
   * This is the reference's checkpoint-resume design (nullable-checksum
   * columns as "already computed" state, file_db.rs:375-388) turned into
