@@ -26,12 +26,15 @@ import graft.checkpoint.{Manifest, NoCheckpointIO, TableIO}
   *    (`dropDuplicates(node_id)`, the hard-link-collapse analog of
   *    /root/reference/src/file_db.rs:559-563), so exact-dup-heavy corpora
   *    don't pay per-copy signature cost;
-  *  - ST2 groups by band key with map-side partial counting first; band-key
-  *    groups larger than `maxBandGroup` are dropped *before* any
+  *  - ST2 censuses band keys with map-side partial counting first (a join,
+  *    never a driver collect); groups larger than `maxBandGroup` are salted
+  *    into bounded buckets and over-cap groups are dropped *before* any
   *    collect_list materializes (hot-band stop-word guard, counted in
   *    metrics) — the skew defuser for boilerplate bands;
-  *  - ST3 only ever touches candidate pairs (LSH-bounded), joining texts by
-  *    node_id; AQE handles residual skew on those joins;
+  *  - ST3 only ever touches candidate pairs (LSH-bounded): contents are
+  *    semi-join-pruned to the candidate id set, so the corpus text is never
+  *    shuffled — only dup-set texts; the repartition key is salted so a hub
+  *    content cannot serialize the CPU-bound verify;
   *  - ST4 shuffles only the verified-pair edge set (tiny vs corpus);
   *  - no stage collects unbounded data to the driver.
   */
