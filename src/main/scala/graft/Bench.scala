@@ -40,14 +40,23 @@ object Bench {
   /** One timed full-pipeline run over nUnits synthetic pages (tokensScale=4:
     * web-page-sized texts so compute dominates fixed per-job overhead) in a
     * fresh session. A warm-up run absorbs class-load and codegen cost. */
+  /** Stage-cache policy for the timed pipeline runs: which stages are
+    * lazily checkpointed (SelectiveCacheIO). "*" = all (the default IO). */
+  private def benchIO: graft.checkpoint.TableIO = {
+    val cached = sys.env.getOrElse("SPARK_GRAFT_BENCH_CACHE", "*")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    new graft.checkpoint.SelectiveCacheIO(cached)
+  }
+
   private def pipelineRunOnce(spark: SparkSession, nUnits: Long): (Long, Double) = {
     val spec = PagesGen.Spec(nUnits = nUnits, tokensScale = 4)
-    Pipeline.run(spark, PagesGen.pages(spark, spec.copy(nUnits = 60)), SparkEntry.cfg)
+    val io = benchIO
+    Pipeline.run(spark, PagesGen.pages(spark, spec.copy(nUnits = 60)), SparkEntry.cfg, io)
       .report.count() // warm-up
     val pages = PagesGen.pages(spark, spec)
     val docs = pages.count()
     val t0 = System.nanoTime()
-    Pipeline.run(spark, pages, SparkEntry.cfg).report.count()
+    Pipeline.run(spark, pages, SparkEntry.cfg, io).report.count()
     (docs, (System.nanoTime() - t0) / 1e9)
   }
 
