@@ -161,10 +161,13 @@ object Similarity {
   }
 
   /** Distinct candidate pairs (id_a < id_b) from sign-LSH buckets, with the
-    * hot-bucket guard. Returns (pairs, droppedBuckets). Mirrors the text
-    * tier's ST2 (Pipeline.candidatePairs) on vector band keys. */
+    * hot-bucket guard. Returns (pairs, lazy droppedBuckets count). Mirrors
+    * the text tier's ST2 (Pipeline.candidatePairs) on vector band keys: the
+    * census is a JOIN, never a driver collect or an eager count — the hot
+    * set can be large on a boilerplate-rich corpus, and an eager count
+    * would force an extra driver-synchronized job per call. */
   def candidatePairs(df: DataFrame, cfg: AnnConfig,
-      idCol: String = "vec_id", vecCol: String = "embedding"): (DataFrame, Long) = {
+      idCol: String = "vec_id", vecCol: String = "embedding"): (DataFrame, () => Long) = {
     val spark = df.sparkSession
     import spark.implicits._
 
@@ -172,11 +175,13 @@ object Similarity {
       col(idCol).as("id"),
       explode(embeddingBandKeys(col(vecCol), cfg.bits, cfg.bands, cfg.seed)).as("bucket"))
 
-    val counts = buckets.groupBy("bucket").count()
-    val hot = counts.where(col("count") > cfg.maxBucket).select("bucket")
-    val nHot = hot.count()
-    val cold = if (nHot == 0) buckets
-      else buckets.join(broadcast(hot), Seq("bucket"), "left_anti")
+    // lazily checkpointed: the pair job materializes it; the thunk then
+    // counts the cached partitions (AQE broadcasts the anti-join side when
+    // it fits)
+    val hot = buckets.groupBy("bucket").count()
+      .where(col("count") > cfg.maxBucket).select("bucket")
+      .localCheckpoint(false)
+    val cold = buckets.join(hot, Seq("bucket"), "left_anti")
 
     val pairs = cold
       .groupBy("bucket")
@@ -193,7 +198,7 @@ object Similarity {
       }
       .distinct()
       .toDF("id_a", "id_b")
-    (pairs, nHot)
+    (pairs, () => hot.count())
   }
 
   /** Approximate cosine top-k via sign-LSH buckets (both directions of each
