@@ -15,6 +15,10 @@ run / fork := true
 // the sbt logger: benchmark/verify JSON lines must arrive unprefixed (no
 // [info]/[error]) so the round driver can machine-parse them.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ... and nothing may print AFTER them: suppress sbt's trailing
+// "[success] Total time: ..." footer so the benchmark's bare JSON line is
+// the LAST line of stdout (a last-line parser then just works).
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -137,20 +137,31 @@ object Bench {
         f""""sig_stage":{"docs":$sigDocs,$sigPer,"efficiency_${n0}_to_${n1}":$sigEff%.3f}}"""
     }
 
-    // ---- per-query timings at the contract parallelism
+    // ---- per-query timings at the contract parallelism.
+    // Interleaved min-of-N (default 3), mirroring the scaling loop: the
+    // sandbox VM has multi-second hypervisor-steal episodes (BASELINE.md),
+    // and a single-shot timing lands whole bursts on whichever queries were
+    // running — min over interleaved repetitions is the noise-robust
+    // estimator of a query's true cost. A failed query is not retried.
     val doQueries = sys.env.getOrElse("SPARK_GRAFT_QUERIES", "1") == "1"
+    val queryReps = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "3").toInt
     val spark = session(cpus)
     val failed = scala.collection.mutable.ArrayBuffer[String]()
-    val results = (if (doQueries) SparkEntry.queries.toSeq.sortBy(_._1) else Nil)
-      .map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() }
-        catch { case e: Throwable =>
-          failed += name
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        }
-        name -> (System.nanoTime() - t0) / 1e9
+    val names = (if (doQueries) SparkEntry.queries.toSeq.sortBy(_._1) else Nil)
+    val best = scala.collection.mutable.LinkedHashMap[String, Double]()
+    for (rep <- 1 to queryReps; (name, fn) <- names if !failed.contains(name)) {
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        best(name) = math.min(best.getOrElse(name, Double.MaxValue), sec)
+      } catch { case e: Throwable =>
+        failed += name
+        best(name) = (System.nanoTime() - t0) / 1e9
+        System.err.println(s"[bench] $name FAILED (rep $rep): ${e.getMessage}")
       }
+    }
+    val results = names.map { case (name, _) => name -> best.getOrElse(name, 0.0) }
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val failedJson =
@@ -159,14 +170,15 @@ object Bench {
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"$failedJson$scalingJson}"""
     // Three delivery paths so the driver can machine-parse the result even
-    // when a logger swallows or prefixes stdout lines: the bare JSON line,
-    // a sentinel-prefixed copy, and a file in the repo root.
-    println(json)
+    // when a logger swallows or prefixes stdout lines: a sentinel-prefixed
+    // copy, a file in the repo root, and — LAST on stdout, with
+    // showSuccess := false suppressing sbt's footer — the bare JSON line.
     println(s"GRAFT_BENCH_JSON $json")
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.json"),
         (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Exception => System.err.println(s"[bench] BENCH.json write failed: $e") }
     spark.stop()
+    println(json) // the bare JSON line, last on stdout
   }
 }
