@@ -299,11 +299,13 @@ object Pipeline {
     * pathologically large cluster can't create a giant sorted partition.
     * Keeper = min over struct(-sub_size, min_url): largest exact subgroup,
     * tie-broken by smallest url — deterministic. */
-  def cluster(extracted: DataFrame, verified: DataFrame, cfg: GraftConfig): DataFrame = {
+  def cluster(extracted: DataFrame, verified: DataFrame, cfg: GraftConfig,
+      ccDurableDir: Option[String] = None): DataFrame = {
     val spark = extracted.sparkSession
 
     val edges = verified.where(col("passed")).select(col("id_a"), col("id_b"))
-    val cc = ConnectedComponents.run(spark, edges, cfg.maxCcIterations)
+    val cc = ConnectedComponents.run(spark, edges, cfg.maxCcIterations,
+      localThreshold = cfg.ccLocalThreshold, durableDir = ccDurableDir)
 
     val members = extracted
       .join(cc, extracted("node_id") === cc("id"), "left")
@@ -444,7 +446,10 @@ object Pipeline {
     }
 
     val verified = stage("st3_verified")(verifyPairs(candidates, contents, cfg))
-    val clusters = stage("st4_clusters")(cluster(extracted, verified, cfg))
+    // Durable IOs extend resume INSIDE ST4: the CC loop commits labels per
+    // iteration under io.ccDurableDir, so a crash mid-propagation resumes
+    // from the last committed iteration, not from scratch.
+    val clusters = stage("st4_clusters")(cluster(extracted, verified, cfg, io.ccDurableDir))
     val rep = stage("st5_report")(report(clusters))
 
     val base = metrics.toSeq

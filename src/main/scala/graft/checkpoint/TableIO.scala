@@ -27,6 +27,13 @@ trait TableIO {
   /** Atomically commit `df` as the snapshot for `stage`. Returns the
     * re-loaded (durable) DataFrame plus the manifest written. */
   def commit(df: DataFrame, stage: String): (DataFrame, Manifest)
+
+  /** Durable scratch directory for ST4's iterative connected components,
+    * if this IO is durable at all: the CC loop then commits its label
+    * table per iteration and a restarted run resumes mid-propagation
+    * instead of from scratch (executor/driver loss costs one iteration).
+    * In-memory IOs return None — there is nothing to resume into. */
+  def ccDurableDir: Option[String] = None
 }
 
 final case class Manifest(
@@ -63,6 +70,11 @@ final class ParquetSnapshotIO(root: String, configHash: String) extends TableIO 
 
   private def stageDir(stage: String) = Paths.get(root, stage)
   private def manifestPath(stage: String) = stageDir(stage).resolve("_manifest.json")
+
+  /** ST4's per-iteration CC label commits live beside the stage snapshots,
+    * keyed by config hash (the label store itself re-keys by edge hash). */
+  override def ccDurableDir: Option[String] =
+    Some(stageDir("st4_cc").resolve(configHash).toString)
 
   override def load(spark: SparkSession, stage: String): Option[(DataFrame, Manifest)] = {
     val mp = manifestPath(stage)

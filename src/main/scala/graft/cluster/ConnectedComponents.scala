@@ -139,11 +139,27 @@ object ConnectedComponents {
       val kv = Field.findAllMatchIn(
         new String(Files.readAllBytes(manifest), StandardCharsets.UTF_8))
         .map(m => m.group(1) -> Option(m.group(2)).getOrElse(m.group(3))).toMap
-      for {
-        h <- kv.get("edge_hash") if h == edgeHash
-        k <- kv.get("iter").map(_.toInt)
-        p = root.resolve(s"labels-iter$k") if Files.exists(p)
-      } yield (spark.read.parquet(p.toString), k)
+      kv.get("edge_hash") match {
+        case Some(h) if h == edgeHash =>
+          for {
+            k <- kv.get("iter").map(_.toInt)
+            p = root.resolve(s"labels-iter$k") if Files.exists(p)
+          } yield (spark.read.parquet(p.toString), k)
+        case _ =>
+          // Labels committed under a DIFFERENT edge set are useless to this
+          // run and would otherwise accumulate forever (every edge-set
+          // change strands its label dirs): clear the whole store and start
+          // fresh.
+          clear()
+          None
+      }
+    }
+
+    private def clear(): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (Files.exists(root))
+        Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(Files.delete)
     }
 
     def commit(labels: DataFrame, iter: Int): DataFrame = {
@@ -155,6 +171,15 @@ object ConnectedComponents {
         s"""{"edge_hash": "$edgeHash", "iter": $iter}""".getBytes(StandardCharsets.UTF_8))
       Files.move(tmp, manifest, StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
+      // GC: once the manifest points at iter k, iter k-1 is unreachable by
+      // any resume — drop it so a long propagation holds at most one
+      // superseded label table instead of one per iteration.
+      val prev = root.resolve(s"labels-iter${iter - 1}")
+      if (Files.exists(prev)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(prev).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(Files.delete)
+      }
       labels.sparkSession.read.parquet(p.toString)
     }
   }

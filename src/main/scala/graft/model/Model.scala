@@ -54,7 +54,14 @@ final case class GraftConfig(
       * verifySalt): bounds a hub content's share of the CPU-bound verify
       * work to ~1/verifySalt of its pairs while keeping shingle-memo
       * locality on id_a. 1 = unsalted. */
-    verifySalt: Int = 16
+    verifySalt: Int = 16,
+    /** Edge-count threshold below which ST4 connected components run as
+      * driver-side union-find (one collect) instead of the distributed
+      * label-propagation loop. Defaults to
+      * ConnectedComponents.LocalEdgeThreshold (2M edges = 32 MB collected);
+      * tests lower it to exercise the distributed/durable path on small
+      * graphs. */
+    ccLocalThreshold: Long = 2_000_000L
 ) {
   require(numPerm % bands == 0, s"numPerm=$numPerm must be divisible by bands=$bands")
   def rowsPerBand: Int = numPerm / bands

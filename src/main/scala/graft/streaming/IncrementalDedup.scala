@@ -93,6 +93,10 @@ object IncrementalDedup {
     * (members + edges) into the v3 resolved-binding shape. A version from
     * the future is refused. */
   private[streaming] def ensureStateVersion(spark: SparkSession, cfg: GraftConfig, dirs: StateDirs): Unit = {
+    // Heal interrupted swaps first: every swapped table must be present (or
+    // restored from its aside copy) before any state is read this batch.
+    recoverSwap(dirs.clusters)
+    recoverSwap(dirs.members)
     readVersion(dirs) match {
       case Some(StateVersion) => // current
       case Some(v) if v > StateVersion =>
@@ -103,12 +107,18 @@ object IncrementalDedup {
         if (exists(dirs.members)) {
           val m = spark.read.parquet(dirs.members)
           if (!m.columns.contains("batch_id")) {
-            val migrated = m
-              .withColumn("warc_ts", lit(new java.sql.Timestamp(0L)))
+            // Migrate via temp-dir + crash-safe swap: an in-place overwrite
+            // would delete the only copy of member state before rewriting
+            // it, and a crash mid-write (before the version stamp) would be
+            // unrecoverable. The swap keeps old-or-new present throughout;
+            // re-running the migration after any crash is idempotent (the
+            // batch_id column guard above).
+            val tmp = s"${dirs.members}.tmp-${java.util.UUID.randomUUID()}"
+            m.withColumn("warc_ts", lit(new java.sql.Timestamp(0L)))
               .withColumn("batch_id", lit(-1L))
               .select("url", "node_id", "n_bytes", "warc_ts", "batch_id")
-              .localCheckpoint(true) // materialize BEFORE overwriting the source
-            migrated.write.mode("overwrite").parquet(dirs.members)
+              .write.parquet(tmp)
+            swapDir(tmp, dirs.members)
           }
           rebuildClusters(spark, cfg, dirs) // v<=2 clusters -> v3 shape
         }
@@ -287,7 +297,8 @@ object IncrementalDedup {
       .join(liveAffA, Seq("id_a"), "left_semi")
       .join(liveAffA.select(col("id_a").as("id_b")), Seq("id_b"), "left_semi")
 
-    val cc = graft.cluster.ConnectedComponents.run(spark, affEdges, cfg.maxCcIterations)
+    val cc = graft.cluster.ConnectedComponents.run(spark, affEdges, cfg.maxCcIterations,
+      localThreshold = cfg.ccLocalThreshold)
     val newAff = affResolved
       .join(cc, affResolved("node_id") === cc("id"), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("node_id")))
@@ -316,7 +327,8 @@ object IncrementalDedup {
        else spark.emptyDataFrame.select(lit(0L).as("id_a"), lit(0L).as("id_b")).limit(0))
         .join(liveA, Seq("id_a"), "left_semi")
         .join(liveA.select(col("id_a").as("id_b")), Seq("id_b"), "left_semi")
-    val cc = graft.cluster.ConnectedComponents.run(spark, liveEdges, cfg.maxCcIterations)
+    val cc = graft.cluster.ConnectedComponents.run(spark, liveEdges, cfg.maxCcIterations,
+      localThreshold = cfg.ccLocalThreshold)
     val clusters = resolved
       .join(cc, resolved("node_id") === cc("id"), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("node_id")))
@@ -331,13 +343,51 @@ object IncrementalDedup {
   private def writeClustersAtomic(df: DataFrame, dirs: StateDirs): Unit = {
     val tmp = s"${dirs.clusters}.tmp-${java.util.UUID.randomUUID()}"
     df.write.mode("overwrite").parquet(tmp)
-    val target = Paths.get(dirs.clusters)
-    if (Files.exists(target)) {
+    swapDir(tmp, dirs.clusters)
+  }
+
+  private def deleteTree(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
       import scala.jdk.CollectionConverters._
-      Files.walk(target).sorted(java.util.Comparator.reverseOrder())
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
         .iterator().asScala.foreach(Files.delete)
     }
-    Files.move(Paths.get(tmp), target)
+
+  /** Crash-safe directory replacement: the current table is renamed ASIDE
+    * (one rename), the new one moved in (one rename), and only then is the
+    * aside copy deleted — at every instant either the old or the new table
+    * is recoverable, unlike delete-tree-then-move which leaves a window
+    * with no table at all. `recoverSwap` heals the one bad window (crash
+    * between the two renames) by restoring the aside copy. */
+  private[streaming] def swapDir(tmp: String, target: String): Unit = {
+    val t = Paths.get(target)
+    val aside = Paths.get(target + ".old")
+    deleteTree(aside) // stale aside from a crash after a completed swap
+    if (Files.exists(t)) Files.move(t, aside)
+    try Files.move(Paths.get(tmp), t)
+    catch { case e: Throwable => // restore the old table before propagating
+      if (!Files.exists(t) && Files.exists(aside)) Files.move(aside, t)
+      throw e
+    }
+    deleteTree(aside)
+  }
+
+  /** Heal an interrupted `swapDir`: if the target vanished mid-swap the
+    * aside copy is moved back; a surviving aside next to an intact target
+    * (crash after the second rename) is dropped. Also clears abandoned
+    * `.tmp-*` write dirs so crashes don't leak space. Run once per batch. */
+  private[streaming] def recoverSwap(target: String): Unit = {
+    val t = Paths.get(target)
+    val aside = Paths.get(target + ".old")
+    if (!Files.exists(t) && Files.exists(aside)) Files.move(aside, t)
+    else if (Files.exists(aside)) deleteTree(aside)
+    val parent = t.getParent
+    if (parent != null && Files.exists(parent)) {
+      import scala.jdk.CollectionConverters._
+      Files.list(parent).iterator().asScala
+        .filter(_.getFileName.toString.startsWith(s"${t.getFileName}.tmp-"))
+        .foreach(deleteTree)
+    }
   }
 
   private def appendParquet(df: DataFrame, path: String): Unit =

@@ -99,12 +99,25 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(ConnectedComponents.lastRunIterations < 30,
       s"resume did not use durable state: ${ConnectedComponents.lastRunIterations} iterations")
 
-    // different edge set under the same dir: state is ignored, not reused
+    // GC: each commit retires the previous iteration's label table, so the
+    // store holds ONE labels dir, not one per iteration
+    def labelDirs(): Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
+        .map(_.getFileName.toString).filter(_.startsWith("labels-iter")).toSeq
+    }
+    assert(labelDirs().size == 1,
+      s"superseded label tables not GC'd: ${labelDirs().sorted}")
+
+    // different edge set under the same dir: state is ignored, not reused,
+    // and the stale store is cleared rather than stranded forever
     val other = Seq((100L, 101L), (101L, 102L)).toDF("src", "dst")
     val got2 = ConnectedComponents.run(spark, other, maxIter = 50,
       localThreshold = 0L, durableDir = Some(dir))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got2 == Map(100L -> 100L, 101L -> 100L, 102L -> 100L))
+    assert(labelDirs().size == 1,
+      s"stale-edge-set label tables not cleared: ${labelDirs().sorted}")
   }
 
   test("empty edges yield empty labels") {

@@ -178,6 +178,33 @@ class IncrementalDedupSpec extends SparkSpec {
       "resurrected node's pre-existing edge must re-merge the clusters")
   }
 
+  test("interrupted clusters swap is healed on the next batch (no rebuild)") {
+    val root = Files.createTempDirectory("graft-inc9").toString
+    val dirs = StateDirs(root)
+    IncrementalDedup.processBatch(
+      df(Seq(page("u://a", baseText), page("u://b", nearText))), cfg, dirs, batchId = 1L)
+    val before = spark.read.parquet(dirs.clusters).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+
+    // simulate a crash in the one bad window of the swap: the clusters
+    // table renamed aside, the new table not yet moved in — plus a stale
+    // abandoned write dir from the dead attempt
+    val target = java.nio.file.Paths.get(dirs.clusters)
+    java.nio.file.Files.move(target, java.nio.file.Paths.get(dirs.clusters + ".old"))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dirs.clusters + ".tmp-dead"))
+    assert(!java.nio.file.Files.exists(target))
+
+    // next batch must heal the swap (restore the aside copy, drop the tmp
+    // litter) and process incrementally on top of the restored table
+    IncrementalDedup.processBatch(df(Seq(page("u://c", otherText))), cfg, dirs, batchId = 2L)
+    val after = spark.read.parquet(dirs.clusters).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(after("u://a") == before("u://a") && after("u://a") == after("u://b"))
+    assert(after.contains("u://c"))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dirs.clusters + ".old")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dirs.clusters + ".tmp-dead")))
+  }
+
   test("v1 state migrates in place; future-versioned state is refused") {
     val root = Files.createTempDirectory("graft-inc6").toString
     val dirs = StateDirs(root)

@@ -77,6 +77,45 @@ class ResumeSpec extends SparkSpec {
     assert(r.report.count() > 0)
   }
 
+  test("ST4 resumes connected components mid-propagation under a durable IO") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft-cc-resume").toString
+    // force the distributed CC path so per-iteration durable commits engage
+    val ccCfg = cfg.copy(ccLocalThreshold = 0L)
+    val pages = PagesGen.pages(spark, spec)
+    val io = new ParquetSnapshotIO(root, ccCfg.configHash)
+    assert(io.ccDurableDir.isDefined)
+
+    // simulate a run killed BETWEEN CC iterations: stages st0..st3 committed,
+    // then one CC iteration committed to the durable label store, then death
+    // (st4 never committed)
+    val extracted = Pipeline.extract(pages, ccCfg)
+    val (committedExtracted, _) = io.commit(extracted, "st0_extracted")
+    val (contents, _) = io.commit(Pipeline.distinctContents(committedExtracted), "st0b_contents")
+    val (sigs, _) = io.commit(Pipeline.signatures(contents, ccCfg), "st1_signatures")
+    val (cands, _) = io.commit(Pipeline.candidatePairs(sigs, ccCfg).pairs, "st2_candidates")
+    val (verified, _) = io.commit(Pipeline.verifyPairs(cands, contents, ccCfg), "st3_verified")
+    val edges = verified.where(col("passed")).select("id_a", "id_b")
+    graft.cluster.ConnectedComponents.run(spark, edges, maxIter = 1,
+      localThreshold = 0L, durableDir = io.ccDurableDir)
+    assert(graft.cluster.ConnectedComponents.lastRunIterations == 1)
+    // how many iterations a from-scratch propagation needs on this graph
+    graft.cluster.ConnectedComponents.run(spark, edges, maxIter = 50, localThreshold = 0L)
+    val scratchIters = graft.cluster.ConnectedComponents.lastRunIterations
+    assert(scratchIters >= 2)
+
+    // the restarted pipeline run must pick up the committed iteration
+    val r = Pipeline.run(spark, pages, ccCfg, io)
+    val rep = r.report.collect().map(_.toString).sorted
+    assert(graft.cluster.ConnectedComponents.lastRunIterations < scratchIters,
+      s"ST4 did not resume from durable CC state: ${graft.cluster.ConnectedComponents.lastRunIterations}")
+
+    // and the resumed result is identical to a from-scratch run
+    val fresh = Pipeline.run(spark, pages, cfg.copy(ccLocalThreshold = 0L))
+      .report.collect().map(_.toString).sorted
+    assert(rep.sameElements(fresh))
+  }
+
   test("config change invalidates snapshots (stale-config refusal)") {
     val root = Files.createTempDirectory("graft-stale").toString
     val pages = PagesGen.pages(spark, spec)
