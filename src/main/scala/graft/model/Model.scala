@@ -61,7 +61,16 @@ final case class GraftConfig(
       * ConnectedComponents.LocalEdgeThreshold (2M edges = 32 MB collected);
       * tests lower it to exercise the distributed/durable path on small
       * graphs. */
-    ccLocalThreshold: Long = 2_000_000L
+    ccLocalThreshold: Long = 2_000_000L,
+    /** Incremental-mode state compaction trigger: when any state dir
+      * (members/edges/band_index/signatures) holds more than this many
+      * files after a batch, the dir is rewritten compacted — duplicate
+      * edges merged, member history reduced to the latest binding per url,
+      * and nodes no live url binds GC'd (their signature is recomputed
+      * from the page text if the content ever resurrects). Bounds both
+      * per-batch scan cost and state size on a years-long stream.
+      * 0 disables compaction. */
+    incCompactFileThreshold: Int = 64
 ) {
   require(numPerm % bands == 0, s"numPerm=$numPerm must be divisible by bands=$bands")
   def rowsPerBand: Int = numPerm / bands

@@ -35,10 +35,16 @@ import graft.model.GraftConfig
   *
   * Scale notes: per-batch work is O(batch) signatures + an equi-join of the
   * batch's band keys against the state band table (pushdown-friendly
-  * parquet; Iceberg at real scale); reclustering is bounded to the
-  * components TOUCHED by the batch (new bindings, superseded bindings, new
-  * edges) — untouched clusters are carried forward verbatim, so per-batch
-  * CC cost is O(affected dup-graph), not O(all accumulated edges).
+  * parquet; Iceberg at real scale); hot stored bands are salted into
+  * bounded cells (same policy as batch ST2), so boilerplate bands that
+  * accumulate members over months cannot make per-batch work grow with
+  * stored-band size; reclustering is bounded to the components TOUCHED by
+  * the batch (new bindings, superseded bindings, new edges) — untouched
+  * clusters are carried forward verbatim, so per-batch CC cost is
+  * O(affected dup-graph), not O(all accumulated edges). State dirs are
+  * periodically compacted (dup edges merged, member history reduced to
+  * latest-per-url, dead nodes GC'd), so a years-long stream holds state
+  * proportional to the LIVE corpus, not to its history.
   */
 object IncrementalDedup {
 
@@ -95,8 +101,10 @@ object IncrementalDedup {
   private[streaming] def ensureStateVersion(spark: SparkSession, cfg: GraftConfig, dirs: StateDirs): Unit = {
     // Heal interrupted swaps first: every swapped table must be present (or
     // restored from its aside copy) before any state is read this batch.
-    recoverSwap(dirs.clusters)
-    recoverSwap(dirs.members)
+    // Every dir that swapDir ever targets (cluster writes, migration,
+    // compaction) is covered.
+    Seq(dirs.clusters, dirs.members, dirs.signatures, dirs.bandIndex, dirs.edges)
+      .foreach(recoverSwap)
     readVersion(dirs) match {
       case Some(StateVersion) => // current
       case Some(v) if v > StateVersion =>
@@ -180,24 +188,41 @@ object IncrementalDedup {
 
     // ---- candidates: new-vs-new within the batch bands, plus new-vs-stored
     // through the durable band index (band_key, node_id). The stored side
-    // gets the same hot-band guard as batch ST2: band keys whose stored
-    // membership exceeds maxBandGroup are excluded from the cross join
-    // (otherwise a boilerplate band accumulating members over batches makes
-    // per-batch work grow with the stored hot-band size, not the batch).
+    // gets the same hot-band treatment as batch ST2 — SALTED, not dropped:
+    // band keys whose stored membership exceeds maxBandGroup are bucketed
+    // into ceil(count/maxBandGroup) cells by the same xxh64(node_id,
+    // band_key) salt the batch path uses, and each NEW member probes exactly
+    // one cell — per-new-member work stays O(maxBandGroup) instead of
+    // growing with the accumulated boilerplate-band size, at the cost of
+    // partial in-band recall (a true pair still surfaces through its other
+    // bands). Only groups beyond hardMaxBandGroup are dropped outright,
+    // mirroring Pipeline.candidatePairs.
     val newBands = sigs.select(col("node_id"), explode(col("band_hashes")).as("band_key"))
     val storedBands = readOrEmpty(spark, dirs.bandIndex, newBands)
+    val storedHotCap = if (cfg.saltHotBands) cfg.hardMaxBandGroup.toLong else cfg.maxBandGroup.toLong
+    val maxGroup = cfg.maxBandGroup.toLong
     val hotStored = storedBands
       .join(broadcast(newBands.select("band_key").distinct()), Seq("band_key"), "left_semi")
       .groupBy("band_key").count()
       .where(col("count") > cfg.maxBandGroup)
-      .select("band_key")
-    val crossPairs = newBands.as("n")
-      .join(storedBands.join(broadcast(hotStored), Seq("band_key"), "left_anti").as("s"),
-        col("n.band_key") === col("s.band_key"))
-      .select(
-        least(col("n.node_id"), col("s.node_id")).as("id_a"),
-        greatest(col("n.node_id"), col("s.node_id")).as("id_b"))
-      .where(col("id_a") =!= col("id_b"))
+    def crossJoinPairs(n: DataFrame, s: DataFrame, keys: Seq[String]): DataFrame =
+      n.as("n").join(s.as("s"), keys)
+        .select(
+          least(col("n.node_id"), col("s.node_id")).as("id_a"),
+          greatest(col("n.node_id"), col("s.node_id")).as("id_b"))
+        .where(col("id_a") =!= col("id_b"))
+    val coldCross = crossJoinPairs(
+      newBands,
+      storedBands.join(broadcast(hotStored.select("band_key")), Seq("band_key"), "left_anti"),
+      Seq("band_key"))
+    val saltExpr = pmod(xxhash64(col("node_id"), col("band_key")),
+      floor((col("count") + lit(maxGroup - 1)) / lit(maxGroup)).cast("long"))
+    val survivingHot = hotStored.where(col("count") <= storedHotCap)
+    val hotCross = crossJoinPairs(
+      newBands.join(broadcast(survivingHot), Seq("band_key")).withColumn("salt", saltExpr),
+      storedBands.join(broadcast(survivingHot), Seq("band_key")).withColumn("salt", saltExpr),
+      Seq("band_key", "salt"))
+    val crossPairs = coldCross.union(hotCross)
     val newPairs = Pipeline.candidatePairs(sigs, cfg).pairs
     val candidates = newPairs.union(crossPairs).distinct().localCheckpoint(false)
 
@@ -238,6 +263,7 @@ object IncrementalDedup {
     // O(affected dup-graph), not O(all accumulated edges).
     if (prevC == null) {
       rebuildClusters(spark, cfg, dirs) // first batch ever / state recovery
+      compactStateIfNeeded(spark, cfg, dirs)
       return
     }
     val batchUrls = newMemberRows.select("url").distinct()
@@ -307,6 +333,7 @@ object IncrementalDedup {
     val untouched = prevC.join(affClusters, Seq("cluster_id"), "left_anti")
       .select("url", "node_id", "cluster_id", "n_bytes", "warc_ts", "batch_id")
     writeClustersAtomic(untouched.unionByName(newAff), dirs)
+    compactStateIfNeeded(spark, cfg, dirs)
   }
 
   /** Full recluster from ground-truth state (members + edges): latest
@@ -334,6 +361,57 @@ object IncrementalDedup {
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("node_id")))
       .select("url", "node_id", "cluster_id", "n_bytes", "warc_ts", "batch_id")
     writeClustersAtomic(clusters, dirs)
+  }
+
+  /** Rewrite accumulated state compacted when any dir's file count exceeds
+    * cfg.incCompactFileThreshold. Without this, `appendParquet` adds files
+    * per batch forever and the per-batch `edges.distinct()` scan creeps
+    * with total history. Compaction:
+    *  - members -> latest binding per url (exactly the reduction every
+    *    resolution path computes; superseded history carries no signal);
+    *  - edges -> distinct, endpoints restricted to LIVE nodes (an edge on a
+    *    node no url binds cannot affect clustering; cluster time retires
+    *    them anyway — compaction just stops paying to rescan them);
+    *  - band_index / signatures -> live nodes only. This trades the
+    *    "resurrected content needs no recompute" property for bounded
+    *    state: a url reverting to GC'd content re-enters as new content
+    *    (the batch carries its text, so the signature is recomputed and
+    *    re-indexed — same clusters, one extra signature's compute).
+    * Returns true when a compaction ran (test hook). */
+  private[streaming] def compactStateIfNeeded(spark: SparkSession, cfg: GraftConfig,
+      dirs: StateDirs): Boolean = {
+    val threshold = cfg.incCompactFileThreshold
+    if (threshold <= 0 || !exists(dirs.clusters)) return false
+    def fileCount(p: String): Int =
+      if (!exists(p)) 0
+      else {
+        import scala.jdk.CollectionConverters._
+        Files.list(Paths.get(p)).iterator().asScala.count(Files.isRegularFile(_))
+      }
+    val dirsToWatch = Seq(dirs.members, dirs.edges, dirs.bandIndex, dirs.signatures)
+    if (!dirsToWatch.exists(fileCount(_) > threshold)) return false
+
+    val live = spark.read.parquet(dirs.clusters)
+      .select("node_id").distinct().localCheckpoint(true)
+    def rewrite(path: String)(f: DataFrame => DataFrame): Unit = if (exists(path)) {
+      val tmp = s"$path.tmp-${java.util.UUID.randomUUID()}"
+      f(spark.read.parquet(path)).write.parquet(tmp) // reads source, writes tmp
+      swapDir(tmp, path) // crash-safe: old-or-new present at every instant
+    }
+    rewrite(dirs.members) { m =>
+      m.groupBy("url")
+        .agg(max(struct(col("batch_id"), col("warc_ts"), col("node_id"), col("n_bytes"))).as("m"))
+        .select(col("url"), col("m.node_id").as("node_id"), col("m.n_bytes").as("n_bytes"),
+          col("m.warc_ts").as("warc_ts"), col("m.batch_id").as("batch_id"))
+    }
+    rewrite(dirs.signatures)(_.join(live, Seq("node_id"), "left_semi"))
+    rewrite(dirs.bandIndex)(_.distinct().join(live, Seq("node_id"), "left_semi"))
+    rewrite(dirs.edges) { e =>
+      e.distinct()
+        .join(live.withColumnRenamed("node_id", "id_a"), Seq("id_a"), "left_semi")
+        .join(live.withColumnRenamed("node_id", "id_b"), Seq("id_b"), "left_semi")
+    }
+    true
   }
 
   /** The clusters output derives from (and replaces) the previous clusters

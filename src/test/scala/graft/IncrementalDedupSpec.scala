@@ -205,6 +205,99 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dirs.clusters + ".tmp-dead")))
   }
 
+  test("state compaction bounds file count and per-batch input; outputs unchanged") {
+    def fileCount(p: String): Int = {
+      import scala.jdk.CollectionConverters._
+      if (!Files.exists(java.nio.file.Paths.get(p))) 0
+      else Files.list(java.nio.file.Paths.get(p)).iterator().asScala
+        .count(Files.isRegularFile(_))
+    }
+    def runStream(compactThreshold: Int): (String, Map[String, Long]) = {
+      val root = Files.createTempDirectory(s"graft-compact$compactThreshold").toString
+      val dirs = StateDirs(root)
+      val c = cfg.copy(incCompactFileThreshold = compactThreshold)
+      // u://flip alternates between two contents every batch (member history
+      // churn + dead-node churn); u://near stays a near-dup of baseText
+      IncrementalDedup.processBatch(
+        df(Seq(page("u://flip", baseText), page("u://near", nearText))), c, dirs, batchId = 0L)
+      (1 to 11).foreach { i =>
+        val text = if (i % 2 == 1) otherText else baseText
+        IncrementalDedup.processBatch(df(Seq(page("u://flip", text))), c, dirs, batchId = i.toLong)
+      }
+      val clusters = spark.read.parquet(dirs.clusters).collect()
+        .map(r => r.getString(0) -> r.getLong(2)).toMap
+      (root, clusters)
+    }
+
+    val (rootC, clustersC) = runStream(compactThreshold = 12)
+    val (rootU, clustersU) = runStream(compactThreshold = 0) // disabled
+    // cluster outputs are identical with and without compaction
+    assert(clustersC == clustersU, "compaction changed cluster assignments")
+    // after 12 batches, ends on otherText: flip and near are apart
+    assert(clustersC("u://flip") != clustersC("u://near"))
+
+    val dC = StateDirs(rootC); val dU = StateDirs(rootU)
+    Seq(dC.members -> dU.members, dC.edges -> dU.edges,
+      dC.bandIndex -> dU.bandIndex, dC.signatures -> dU.signatures).foreach {
+      case (compacted, uncompacted) =>
+        assert(fileCount(compacted) < fileCount(uncompacted),
+          s"$compacted: ${fileCount(compacted)} !< ${fileCount(uncompacted)}")
+    }
+    // per-batch input stays bounded: edge state holds only live-edge rows
+    assert(spark.read.parquet(dC.edges).count() <=
+      spark.read.parquet(dU.edges).distinct().count())
+
+    // a revert to GC'd content recomputes its signature and still re-merges;
+    // threshold=1 forces a compaction at the end of this batch so the final
+    // state is exactly the live corpus, independent of earlier compaction
+    // timing
+    IncrementalDedup.processBatch(df(Seq(page("u://flip", baseText))),
+      cfg.copy(incCompactFileThreshold = 1), dC, batchId = 12L)
+    val c2 = spark.read.parquet(dC.clusters).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(c2("u://flip") == c2("u://near"),
+      "revert to compacted-away content must re-cluster via signature recompute")
+    // member history reduced to the latest binding per url
+    assert(spark.read.parquet(dC.members).count() == 2)
+    // dead nodes GC'd: exactly the two live contents keep signatures
+    val liveNodes = spark.read.parquet(dC.clusters).select("node_id")
+      .collect().map(_.getLong(0)).toSet
+    val sigNodes = spark.read.parquet(dC.signatures).select("node_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(sigNodes.sorted == liveNodes.toSeq.sorted && sigNodes.size == 2,
+      s"signatures $sigNodes != live $liveNodes")
+    // edge endpoints restricted to live nodes
+    val edgeEnds = spark.read.parquet(dC.edges).collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(edgeEnds.subsetOf(liveNodes), s"dead edge endpoints: ${edgeEnds -- liveNodes}")
+  }
+
+  test("stored-side hot bands are salted, not dropped (cross-batch recall)") {
+    val root = Files.createTempDirectory("graft-inc-hot").toString
+    val dirs = StateDirs(root)
+    // maxBandGroup=3 makes a 6-member stored band HOT; hardMax keeps salting on
+    val hotCfg = cfg.copy(maxBandGroup = 3)
+    val longBase = (1 to 200).map(i => s"w$i").mkString(" ")
+    // 6 near-identical variants: most of their 32 band keys collide, so the
+    // stored band index accumulates >3 members per shared band key
+    val variants = (1 to 6).map(v => page(s"u://v$v", longBase.replace("w100", s"v$v")))
+    IncrementalDedup.processBatch(df(variants), hotCfg, dirs, batchId = 1L)
+    val c1 = spark.read.parquet(dirs.clusters).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(c1.values.toSet.size == 1, "variants must co-cluster in batch 1")
+
+    // batch 2: a 7th variant arrives alone — no in-batch pairs, so its ONLY
+    // path into the cluster is the new-vs-stored band join, and every
+    // shared band key is hot on the stored side. A drop-based guard loses
+    // it entirely; salting must recover at least one colliding cell.
+    IncrementalDedup.processBatch(
+      df(Seq(page("u://v7", longBase.replace("w100", "v7")))), hotCfg, dirs, batchId = 2L)
+    val c2 = spark.read.parquet(dirs.clusters).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(c2("u://v7") == c2("u://v1"),
+      "cross-batch near-dup through a hot stored band must still cluster (salted probe)")
+  }
+
   test("v1 state migrates in place; future-versioned state is refused") {
     val root = Files.createTempDirectory("graft-inc6").toString
     val dirs = StateDirs(root)
