@@ -49,7 +49,8 @@ object Bench {
   }
 
   private def pipelineRunOnce(spark: SparkSession, nUnits: Long): (Long, Double) = {
-    val spec = PagesGen.Spec(nUnits = nUnits, tokensScale = 4)
+    val tokensScale = sys.env.getOrElse("SPARK_GRAFT_TOKENS_SCALE", "4").toInt
+    val spec = PagesGen.Spec(nUnits = nUnits, tokensScale = tokensScale)
     val io = benchIO
     Pipeline.run(spark, PagesGen.pages(spark, spec.copy(nUnits = 60)), SparkEntry.cfg, io)
       .report.count() // warm-up
@@ -99,7 +100,7 @@ object Bench {
       .split(",").map(_.trim.toInt).toSeq
     var scalingJson = ""
     if (doScaling) {
-      val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+      val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "4").toInt
       // Interleave levels across repetitions (fresh session each) and take
       // the per-level minimum: the sandbox VM has multi-second noise
       // episodes, and interleaving keeps one episode from biasing a level.
