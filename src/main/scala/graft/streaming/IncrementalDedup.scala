@@ -363,6 +363,79 @@ object IncrementalDedup {
     writeClustersAtomic(clusters, dirs)
   }
 
+  /** Identity-key remap of stored state — the graft analog of the
+    * reference's device-number remap maintenance op
+    * (/root/reference/src/file_db.rs:656-794): when the node-id derivation
+    * changes (e.g. a hash-config migration), stored state is RE-KEYED under
+    * an (old_id, new_id) mapping instead of recomputed — signatures, band
+    * index, member bindings, edges, and cluster labels all carry over.
+    * The mapping's provenance is the caller's (e.g. joining old and new
+    * ST0 outputs on url or exact_hash); ids absent from the mapping pass
+    * through unchanged.
+    *
+    * Refusals mirror the reference's consistency gate: a mapping that is
+    * not 1-to-1, or whose new ids collide with unmapped stored ids, would
+    * silently merge or split content identities and is rejected before any
+    * write. Each table rewrite is crash-safe (temp dir + rename-aside
+    * swap, healed by `recoverSwap` on the next batch).
+    *
+    * Cluster labels are component-min node ids, so they are recomputed per
+    * (unchanged) membership group after the remap — a pure groupBy-min,
+    * no connected-components rerun. */
+  def remapNodeIds(spark: SparkSession, dirs: StateDirs, mapping: DataFrame): Unit = {
+    Seq(dirs.clusters, dirs.members, dirs.signatures, dirs.bandIndex, dirs.edges)
+      .foreach(recoverSwap)
+    val m = mapping.select(col("old_id").cast("long").as("old_id"),
+      col("new_id").cast("long").as("new_id")).distinct().localCheckpoint(true)
+    val dupOld = m.groupBy("old_id").count().where(col("count") > 1).count()
+    val dupNew = m.groupBy("new_id").count().where(col("count") > 1).count()
+    require(dupOld == 0 && dupNew == 0,
+      s"remap mapping is not 1-to-1 ($dupOld duplicated old ids, $dupNew duplicated new ids) " +
+        "- refusing: applying it would merge or split content identities")
+    // a new id colliding with a stored id the mapping does NOT touch would
+    // merge two distinct contents under one key
+    val storedIds =
+      Seq(dirs.signatures -> "node_id", dirs.members -> "node_id", dirs.clusters -> "node_id")
+        .filter { case (p, _) => exists(p) }
+        .map { case (p, c) => spark.read.parquet(p).select(col(c).as("id")) }
+        .reduceOption(_ union _)
+        .map(_.distinct())
+    storedIds.foreach { ids =>
+      // mapping rows whose new_id equals a stored id, where that stored id
+      // is NOT itself remapped away by the same mapping
+      val collisions = m.join(ids, m("new_id") === ids("id"), "left_semi")
+        .join(m.select(col("old_id").as("probe")), col("new_id") === col("probe"), "left_anti")
+        .count()
+      require(collisions == 0,
+        s"remap collides $collisions new ids with unmapped stored ids - refusing")
+    }
+
+    def remapCol(df: DataFrame, c: String): DataFrame =
+      df.join(m.withColumnRenamed("old_id", c), Seq(c), "left")
+        .withColumn(c, coalesce(col("new_id"), col(c))).drop("new_id")
+    def rewrite(path: String)(f: DataFrame => DataFrame): Unit = if (exists(path)) {
+      val tmp = s"$path.tmp-${java.util.UUID.randomUUID()}"
+      f(spark.read.parquet(path)).write.parquet(tmp)
+      swapDir(tmp, path)
+    }
+    rewrite(dirs.signatures)(remapCol(_, "node_id"))
+    rewrite(dirs.bandIndex)(remapCol(_, "node_id"))
+    rewrite(dirs.members)(remapCol(_, "node_id"))
+    rewrite(dirs.edges) { e =>
+      val r = remapCol(remapCol(e.withColumnRenamed("id_a", "a").withColumnRenamed("id_b", "b"),
+        "a"), "b")
+      r.select(least(col("a"), col("b")).as("id_a"), greatest(col("a"), col("b")).as("id_b"))
+        .where(col("id_a") =!= col("id_b")) // id_a < id_b invariant survives the remap
+    }
+    rewrite(dirs.clusters) { c0 =>
+      val r = remapCol(c0, "node_id")
+      val relabel = r.groupBy("cluster_id").agg(min(col("node_id")).as("new_label"))
+      r.join(relabel, "cluster_id")
+        .select(col("url"), col("node_id"), col("new_label").as("cluster_id"),
+          col("n_bytes"), col("warc_ts"), col("batch_id"))
+    }
+  }
+
   /** Rewrite accumulated state compacted when any dir's file count exceeds
     * cfg.incCompactFileThreshold. Without this, `appendParquet` adds files
     * per batch forever and the per-batch `edges.distinct()` scan creeps

@@ -336,6 +336,54 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(e.getMessage.contains("refusing"))
   }
 
+  test("node-id remap re-keys all state without recompute; bad mappings refused") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft-remap").toString
+    val dirs = StateDirs(root)
+    IncrementalDedup.processBatch(
+      df(Seq(page("u://a", baseText), page("u://b", nearText), page("u://z", otherText))),
+      cfg, dirs, batchId = 1L)
+    val before = spark.read.parquet(dirs.clusters).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val groupsBefore = before.groupBy(_._3).values.map(_.map(_._1).toSet).toSet
+    val oldIds = before.map(_._2).distinct.sorted
+
+    // bijective shift of every stored id
+    val mapping = oldIds.toSeq.map(id => (id, id + 1000L)).toDF("old_id", "new_id")
+    IncrementalDedup.remapNodeIds(spark, dirs, mapping)
+
+    val after = spark.read.parquet(dirs.clusters).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // same url partition into clusters, labels recomputed as component mins
+    val groupsAfter = after.groupBy(_._3).values.map(_.map(_._1).toSet).toSet
+    assert(groupsAfter == groupsBefore, "remap changed cluster membership")
+    assert(after.map(_._2).toSet == oldIds.map(_ + 1000L).toSet)
+    after.groupBy(_._3).foreach { case (label, rows) =>
+      assert(label == rows.map(_._2).min, s"cluster label $label is not the component min") }
+    // every state table re-keyed; signatures/bands/edges NOT recomputed
+    assert(spark.read.parquet(dirs.signatures).select("node_id").collect()
+      .map(_.getLong(0)).toSet == oldIds.map(_ + 1000L).toSet)
+    assert(spark.read.parquet(dirs.bandIndex).select("node_id").collect()
+      .map(_.getLong(0)).toSet.subsetOf(oldIds.map(_ + 1000L).toSet))
+    val edges = spark.read.parquet(dirs.edges).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty && edges.forall { case (a, b) => a < b &&
+      oldIds.map(_ + 1000L).contains(a) && oldIds.map(_ + 1000L).contains(b) })
+    // members re-keyed consistently with clusters
+    val mem = spark.read.parquet(dirs.members).select("url", "node_id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mem == after.map(t => t._1 -> t._2).toMap)
+
+    // refusal: non-1-to-1 mapping (two olds to one new)
+    val clash = Seq((after.head._2, 7L), (after.last._2, 7L)).toDF("old_id", "new_id")
+    intercept[IllegalArgumentException] { IncrementalDedup.remapNodeIds(spark, dirs, clash) }
+    // refusal: new id collides with an unmapped stored id
+    val collide = Seq((after.head._2, after.last._2)).toDF("old_id", "new_id")
+    intercept[IllegalArgumentException] { IncrementalDedup.remapNodeIds(spark, dirs, collide) }
+    // state untouched by the refused attempts
+    assert(spark.read.parquet(dirs.clusters).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.sameElements(after.sorted))
+  }
+
   test("streaming query end-to-end via MemoryStream + AvailableNow") {
     val root = Files.createTempDirectory("graft-inc3").toString
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
