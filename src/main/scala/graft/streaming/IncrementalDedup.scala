@@ -105,6 +105,13 @@ object IncrementalDedup {
     // compaction) is covered.
     Seq(dirs.clusters, dirs.members, dirs.signatures, dirs.bandIndex, dirs.edges)
       .foreach(recoverSwap)
+    // An interrupted remap leaves tables keyed inconsistently: processing
+    // batches against that state would bind new content to stale ids.
+    // Refuse until the remap is re-run to completion.
+    if (Files.exists(Paths.get(dirs.root, "_remap_journal.json")))
+      throw new IllegalStateException(
+        s"incremental state at ${dirs.root} has an in-progress node-id remap " +
+          "(_remap_journal.json) - re-run remapNodeIds with the same mapping to completion first")
     readVersion(dirs) match {
       case Some(StateVersion) => // current
       case Some(v) if v > StateVersion =>
@@ -382,7 +389,8 @@ object IncrementalDedup {
     * Cluster labels are component-min node ids, so they are recomputed per
     * (unchanged) membership group after the remap — a pure groupBy-min,
     * no connected-components rerun. */
-  def remapNodeIds(spark: SparkSession, dirs: StateDirs, mapping: DataFrame): Unit = {
+  def remapNodeIds(spark: SparkSession, dirs: StateDirs, mapping: DataFrame,
+      crashAfterTables: Int = Int.MaxValue): Unit = {
     Seq(dirs.clusters, dirs.members, dirs.signatures, dirs.bandIndex, dirs.edges)
       .foreach(recoverSwap)
     val m = mapping.select(col("old_id").cast("long").as("old_id"),
@@ -392,12 +400,43 @@ object IncrementalDedup {
     require(dupOld == 0 && dupNew == 0,
       s"remap mapping is not 1-to-1 ($dupOld duplicated old ids, $dupNew duplicated new ids) " +
         "- refusing: applying it would merge or split content identities")
+
+    // Multi-table journal: the remap rewrites five tables and a crash in
+    // between leaves them keyed inconsistently. The journal (mapping hash +
+    // completed-table list, atomically renamed after each table) makes the
+    // op RESUMABLE: re-running the same mapping skips completed tables and
+    // validates only the rest. A journal from a DIFFERENT mapping means an
+    // earlier remap died midway — that one must be re-run to completion
+    // first, so it is refused, never silently mixed.
+    val mapHashRow = m.agg(bit_xor(xxhash64(col("old_id"), col("new_id"))), count(lit(1))).head()
+    val mapHash = f"${mapHashRow.getLong(0)}%016x-${mapHashRow.getLong(1)}"
+    val journalPath = Paths.get(dirs.root, "_remap_journal.json")
+    val JField = """"(\w+)"\s*:\s*"([^"]*)"""".r
+    val done: Set[String] =
+      if (!Files.exists(journalPath)) Set.empty
+      else {
+        val kv = JField.findAllMatchIn(new String(Files.readAllBytes(journalPath),
+          java.nio.charset.StandardCharsets.UTF_8)).map(x => x.group(1) -> x.group(2)).toMap
+        require(kv.get("mapping_hash").contains(mapHash),
+          s"an interrupted remap under a different mapping (${kv.getOrElse("mapping_hash", "?")}) " +
+            "left partial state - re-run THAT remap to completion before starting a new one")
+        kv.get("done").map(_.split(",").filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+      }
+    def writeJournal(doneNow: Set[String]): Unit = {
+      val tmp = Paths.get(dirs.root, s".remap-tmp-${java.util.UUID.randomUUID()}")
+      Files.write(tmp, s"""{"mapping_hash": "$mapHash", "done": "${doneNow.mkString(",")}"}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      Files.move(tmp, journalPath, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+
     // a new id colliding with a stored id the mapping does NOT touch would
-    // merge two distinct contents under one key
+    // merge two distinct contents under one key (checked over the tables
+    // not yet rewritten — completed ones legitimately hold the new ids)
     val storedIds =
-      Seq(dirs.signatures -> "node_id", dirs.members -> "node_id", dirs.clusters -> "node_id")
-        .filter { case (p, _) => exists(p) }
-        .map { case (p, c) => spark.read.parquet(p).select(col(c).as("id")) }
+      Seq("signatures" -> dirs.signatures, "members" -> dirs.members, "clusters" -> dirs.clusters)
+        .filter { case (name, p) => !done.contains(name) && exists(p) }
+        .map { case (_, p) => spark.read.parquet(p).select(col("node_id").as("id")) }
         .reduceOption(_ union _)
         .map(_.distinct())
     storedIds.foreach { ids =>
@@ -409,31 +448,44 @@ object IncrementalDedup {
       require(collisions == 0,
         s"remap collides $collisions new ids with unmapped stored ids - refusing")
     }
+    writeJournal(done) // validation passed: the remap is now in progress
 
     def remapCol(df: DataFrame, c: String): DataFrame =
       df.join(m.withColumnRenamed("old_id", c), Seq(c), "left")
         .withColumn(c, coalesce(col("new_id"), col(c))).drop("new_id")
-    def rewrite(path: String)(f: DataFrame => DataFrame): Unit = if (exists(path)) {
-      val tmp = s"$path.tmp-${java.util.UUID.randomUUID()}"
-      f(spark.read.parquet(path)).write.parquet(tmp)
-      swapDir(tmp, path)
+    var doneNow = done
+    var rewrites = 0
+    def rewrite(name: String, path: String)(f: DataFrame => DataFrame): Unit = {
+      if (!doneNow.contains(name)) {
+        if (rewrites >= crashAfterTables) // test hook: simulate dying midway
+          throw new RuntimeException(s"injected crash before rewriting $name")
+        rewrites += 1
+        if (exists(path)) {
+          val tmp = s"$path.tmp-${java.util.UUID.randomUUID()}"
+          f(spark.read.parquet(path)).write.parquet(tmp)
+          swapDir(tmp, path)
+        }
+        doneNow += name
+        writeJournal(doneNow)
+      }
     }
-    rewrite(dirs.signatures)(remapCol(_, "node_id"))
-    rewrite(dirs.bandIndex)(remapCol(_, "node_id"))
-    rewrite(dirs.members)(remapCol(_, "node_id"))
-    rewrite(dirs.edges) { e =>
+    rewrite("signatures", dirs.signatures)(remapCol(_, "node_id"))
+    rewrite("band_index", dirs.bandIndex)(remapCol(_, "node_id"))
+    rewrite("members", dirs.members)(remapCol(_, "node_id"))
+    rewrite("edges", dirs.edges) { e =>
       val r = remapCol(remapCol(e.withColumnRenamed("id_a", "a").withColumnRenamed("id_b", "b"),
         "a"), "b")
       r.select(least(col("a"), col("b")).as("id_a"), greatest(col("a"), col("b")).as("id_b"))
         .where(col("id_a") =!= col("id_b")) // id_a < id_b invariant survives the remap
     }
-    rewrite(dirs.clusters) { c0 =>
+    rewrite("clusters", dirs.clusters) { c0 =>
       val r = remapCol(c0, "node_id")
       val relabel = r.groupBy("cluster_id").agg(min(col("node_id")).as("new_label"))
       r.join(relabel, "cluster_id")
         .select(col("url"), col("node_id"), col("new_label").as("cluster_id"),
           col("n_bytes"), col("warc_ts"), col("batch_id"))
     }
+    Files.deleteIfExists(journalPath) // all tables consistent again
   }
 
   /** Rewrite accumulated state compacted when any dir's file count exceeds

@@ -382,6 +382,30 @@ class IncrementalDedupSpec extends SparkSpec {
     // state untouched by the refused attempts
     assert(spark.read.parquet(dirs.clusters).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.sameElements(after.sorted))
+
+    // crash mid-remap: two tables rewritten, then death. The journal makes
+    // the state quarantined (batches refuse) and the SAME mapping resumable
+    // to a consistent end state; a DIFFERENT mapping is refused.
+    val mapping2 = oldIds.toSeq.map(id => (id + 1000L, id + 2000L)).toDF("old_id", "new_id")
+    intercept[RuntimeException] {
+      IncrementalDedup.remapNodeIds(spark, dirs, mapping2, crashAfterTables = 2)
+    }
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/_remap_journal.json")))
+    intercept[IllegalStateException] { // batches quarantined while partial
+      IncrementalDedup.processBatch(df(Seq(page("u://q", otherText))), cfg, dirs, batchId = 9L)
+    }
+    intercept[IllegalArgumentException] { // a different mapping cannot mix in
+      IncrementalDedup.remapNodeIds(spark, dirs,
+        oldIds.toSeq.map(id => (id + 1000L, id + 5000L)).toDF("old_id", "new_id"))
+    }
+    IncrementalDedup.remapNodeIds(spark, dirs, mapping2) // resume to completion
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/_remap_journal.json")))
+    val after2 = spark.read.parquet(dirs.clusters).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(after2.groupBy(_._3).values.map(_.map(_._1).toSet).toSet == groupsBefore)
+    assert(after2.map(_._2).toSet == oldIds.map(_ + 2000L).toSet)
+    assert(spark.read.parquet(dirs.signatures).select("node_id").collect()
+      .map(_.getLong(0)).toSet == oldIds.map(_ + 2000L).toSet)
   }
 
   test("streaming query end-to-end via MemoryStream + AvailableNow") {
