@@ -194,42 +194,11 @@ object IncrementalDedup {
       .localCheckpoint(false)
 
     // ---- candidates: new-vs-new within the batch bands, plus new-vs-stored
-    // through the durable band index (band_key, node_id). The stored side
-    // gets the same hot-band treatment as batch ST2 — SALTED, not dropped:
-    // band keys whose stored membership exceeds maxBandGroup are bucketed
-    // into ceil(count/maxBandGroup) cells by the same xxh64(node_id,
-    // band_key) salt the batch path uses, and each NEW member probes exactly
-    // one cell — per-new-member work stays O(maxBandGroup) instead of
-    // growing with the accumulated boilerplate-band size, at the cost of
-    // partial in-band recall (a true pair still surfaces through its other
-    // bands). Only groups beyond hardMaxBandGroup are dropped outright,
-    // mirroring Pipeline.candidatePairs.
+    // through the durable band index (salted hot-band treatment, see
+    // crossBatchCandidates)
     val newBands = sigs.select(col("node_id"), explode(col("band_hashes")).as("band_key"))
     val storedBands = readOrEmpty(spark, dirs.bandIndex, newBands)
-    val storedHotCap = if (cfg.saltHotBands) cfg.hardMaxBandGroup.toLong else cfg.maxBandGroup.toLong
-    val maxGroup = cfg.maxBandGroup.toLong
-    val hotStored = storedBands
-      .join(broadcast(newBands.select("band_key").distinct()), Seq("band_key"), "left_semi")
-      .groupBy("band_key").count()
-      .where(col("count") > cfg.maxBandGroup)
-    def crossJoinPairs(n: DataFrame, s: DataFrame, keys: Seq[String]): DataFrame =
-      n.as("n").join(s.as("s"), keys)
-        .select(
-          least(col("n.node_id"), col("s.node_id")).as("id_a"),
-          greatest(col("n.node_id"), col("s.node_id")).as("id_b"))
-        .where(col("id_a") =!= col("id_b"))
-    val coldCross = crossJoinPairs(
-      newBands,
-      storedBands.join(broadcast(hotStored.select("band_key")), Seq("band_key"), "left_anti"),
-      Seq("band_key"))
-    val saltExpr = pmod(xxhash64(col("node_id"), col("band_key")),
-      floor((col("count") + lit(maxGroup - 1)) / lit(maxGroup)).cast("long"))
-    val survivingHot = hotStored.where(col("count") <= storedHotCap)
-    val hotCross = crossJoinPairs(
-      newBands.join(broadcast(survivingHot), Seq("band_key")).withColumn("salt", saltExpr),
-      storedBands.join(broadcast(survivingHot), Seq("band_key")).withColumn("salt", saltExpr),
-      Seq("band_key", "salt"))
-    val crossPairs = coldCross.union(hotCross)
+    val crossPairs = crossBatchCandidates(newBands, storedBands, cfg)
     val newPairs = Pipeline.candidatePairs(sigs, cfg).pairs
     val candidates = newPairs.union(crossPairs).distinct().localCheckpoint(false)
 
@@ -341,6 +310,46 @@ object IncrementalDedup {
       .select("url", "node_id", "cluster_id", "n_bytes", "warc_ts", "batch_id")
     writeClustersAtomic(untouched.unionByName(newAff), dirs)
     compactStateIfNeeded(spark, cfg, dirs)
+  }
+
+  /** Cross-batch candidate pairs: each NEW band row probes the stored band
+    * index on its key. Census first (restricted by a semi-join to the
+    * batch's keys — the stored index can hold billions of keys, the batch
+    * thousands); stored band groups over `maxBandGroup` are SALTED into
+    * ceil(count/maxBandGroup) cells with the same xxh64(node_id, band_key)
+    * bucketing the batch path uses, and each new member probes exactly ONE
+    * cell — per-new-member work stays O(maxBandGroup) instead of growing
+    * with accumulated boilerplate-band size, at the cost of partial in-band
+    * recall (a true pair still surfaces through its other bands). Only
+    * groups beyond hardMaxBandGroup are dropped, mirroring
+    * Pipeline.candidatePairs. The hot side is tiny (hot keys touched by
+    * this batch), so it is broadcast explicitly. */
+  private[graft] def crossBatchCandidates(newBands: DataFrame, storedBands: DataFrame,
+      cfg: GraftConfig): DataFrame = {
+    val storedHotCap = if (cfg.saltHotBands) cfg.hardMaxBandGroup.toLong else cfg.maxBandGroup.toLong
+    val maxGroup = cfg.maxBandGroup.toLong
+    val hotStored = storedBands
+      .join(broadcast(newBands.select("band_key").distinct()), Seq("band_key"), "left_semi")
+      .groupBy("band_key").count()
+      .where(col("count") > cfg.maxBandGroup)
+    def crossJoinPairs(n: DataFrame, s: DataFrame, keys: Seq[String]): DataFrame =
+      n.as("n").join(s.as("s"), keys)
+        .select(
+          least(col("n.node_id"), col("s.node_id")).as("id_a"),
+          greatest(col("n.node_id"), col("s.node_id")).as("id_b"))
+        .where(col("id_a") =!= col("id_b"))
+    val coldCross = crossJoinPairs(
+      newBands,
+      storedBands.join(broadcast(hotStored.select("band_key")), Seq("band_key"), "left_anti"),
+      Seq("band_key"))
+    val saltExpr = pmod(xxhash64(col("node_id"), col("band_key")),
+      floor((col("count") + lit(maxGroup - 1)) / lit(maxGroup)).cast("long"))
+    val survivingHot = hotStored.where(col("count") <= storedHotCap)
+    val hotCross = crossJoinPairs(
+      newBands.join(broadcast(survivingHot), Seq("band_key")).withColumn("salt", saltExpr),
+      storedBands.join(broadcast(survivingHot), Seq("band_key")).withColumn("salt", saltExpr),
+      Seq("band_key", "salt"))
+    coldCross.union(hotCross)
   }
 
   /** Full recluster from ground-truth state (members + edges): latest

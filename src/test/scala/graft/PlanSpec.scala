@@ -68,6 +68,22 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Filter"), s"length/null guard missing:\n${plan.take(1500)}")
   }
 
+  test("incremental cross-batch candidates: census semi-join prune + broadcast hot side") {
+    import spark.implicits._
+    // the stored band index accumulates for months; the plan must census it
+    // through a LeftSemi against the (tiny) batch key set and broadcast the
+    // hot-key tables — never shuffle the stored index by anything but its
+    // join key, and never collect to the driver
+    val newBands = Seq((1L, 10L), (2L, 10L)).toDF("node_id", "band_key")
+    val stored = (100L to 160L).map(i => (i, 10L)).toDF("node_id", "band_key")
+    val plan = graft.streaming.IncrementalDedup
+      .crossBatchCandidates(newBands, stored, SparkEntry.cfg.copy(maxBandGroup = 8))
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("LeftSemi"), s"stored census not semi-join pruned:\n${plan.take(2000)}")
+    assert(plan.contains("BROADCAST") || plan.contains("broadcast"),
+      s"hot-side broadcast hints lost:\n${plan.take(2000)}")
+  }
+
   test("verify input prunes contents with a semi-join before the wide joins") {
     import spark.implicits._
     // at 100 TB the contents table is the whole corpus text: the plan must
