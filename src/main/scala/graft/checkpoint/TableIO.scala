@@ -141,10 +141,19 @@ final class ParquetSnapshotIO(root: String, configHash: String) extends TableIO 
   * consumed exactly once per action, or only within one job (where
   * Catalyst's exchange reuse already dedups the shuffle), can skip the
   * cache entirely. */
-class SelectiveCacheIO(cached: Set[String]) extends TableIO {
+class SelectiveCacheIO(cached: Set[String],
+    storageLevel: Option[org.apache.spark.storage.StorageLevel] = None) extends TableIO {
   override def load(spark: SparkSession, stage: String): Option[(DataFrame, Manifest)] = None
   override def commit(df: DataFrame, stage: String): (DataFrame, Manifest) = {
-    val out = if (cached.contains("*") || cached.contains(stage)) df.localCheckpoint(false) else df
+    val out =
+      if (!(cached.contains("*") || cached.contains(stage))) df
+      else storageLevel match {
+        // serialized (+compressed via spark.rdd.compress) trades CPU for
+        // bytes through the block store — the right trade on a
+        // memory-bandwidth-bound host
+        case Some(lvl) => df.localCheckpoint(false, lvl)
+        case None      => df.localCheckpoint(false)
+      }
     (out, Manifest("in-memory", "none", -1L, stage))
   }
 }

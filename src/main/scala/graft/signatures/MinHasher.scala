@@ -101,23 +101,50 @@ object MinHasher {
 
   /** 64-bit SimHash: unweighted bit-vote over the distinct shingle hashes.
     * Bit j of the result is 1 iff more shingles have bit j set than not;
-    * exact ties resolve to 0 (deterministic). */
+    * exact ties resolve to 0 (deterministic).
+    *
+    * Accumulation is bit-sliced (carry-save adders over eight 64-bit
+    * planes, flushed every 255 shingles): all 64 bit positions advance in
+    * ~16 word ops per shingle instead of a 64-iteration branchy vote loop
+    * — exact same counts, ~8x less work on the dominant ST1 kernel. */
   def simhash(shingles: Array[Long]): Long = {
-    val votes = new Array[Int](64)
-    var j = 0
-    while (j < shingles.length) {
-      val h = shingles(j)
+    val ones = new Array[Int](64) // exact per-bit ones count
+    val n = shingles.length
+    var idx = 0
+    while (idx < n) {
+      val end = math.min(idx + 255, n) // 8 planes hold counts up to 255
+      var c0 = 0L; var c1 = 0L; var c2 = 0L; var c3 = 0L
+      var c4 = 0L; var c5 = 0L; var c6 = 0L; var c7 = 0L
+      while (idx < end) {
+        var h = shingles(idx)
+        var carry = c0 & h; c0 ^= h; h = carry
+        carry = c1 & h; c1 ^= h; h = carry
+        carry = c2 & h; c2 ^= h; h = carry
+        carry = c3 & h; c3 ^= h; h = carry
+        carry = c4 & h; c4 ^= h; h = carry
+        carry = c5 & h; c5 ^= h; h = carry
+        carry = c6 & h; c6 ^= h; h = carry
+        c7 ^= h
+        idx += 1
+      }
       var bit = 0
       while (bit < 64) {
-        if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
+        ones(bit) += ((((c0 >>> bit) & 1L)
+          + (((c1 >>> bit) & 1L) << 1)
+          + (((c2 >>> bit) & 1L) << 2)
+          + (((c3 >>> bit) & 1L) << 3)
+          + (((c4 >>> bit) & 1L) << 4)
+          + (((c5 >>> bit) & 1L) << 5)
+          + (((c6 >>> bit) & 1L) << 6)
+          + (((c7 >>> bit) & 1L) << 7)).toInt)
         bit += 1
       }
-      j += 1
     }
     var out = 0L
     var bit = 0
     while (bit < 64) {
-      if (votes(bit) > 0) out |= (1L << bit)
+      // vote = ones - zeros = 2*ones - n; set the bit iff vote > 0
+      if (2 * ones(bit) > n) out |= (1L << bit)
       bit += 1
     }
     out

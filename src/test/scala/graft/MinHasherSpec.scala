@@ -68,6 +68,28 @@ class MinHasherSpec extends SparkSpec {
     assert((bb intersect bandsOf(far)).isEmpty)
   }
 
+  test("bit-sliced simhash equals the naive per-bit vote exactly") {
+    // reference implementation: the straightforward 64-iteration vote loop
+    def naive(shingles: Array[Long]): Long = {
+      val votes = new Array[Int](64)
+      shingles.foreach { h =>
+        var bit = 0
+        while (bit < 64) {
+          if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
+          bit += 1
+        }
+      }
+      (0 until 64).foldLeft(0L)((acc, b) => if (votes(b) > 0) acc | (1L << b) else acc)
+    }
+    val rnd = new scala.util.Random(7)
+    // sizes straddle the 255-shingle carry-save block boundary, plus ties
+    // (even counts) and empty-adjacent cases
+    for (size <- Seq(1, 2, 3, 254, 255, 256, 510, 511, 1000); trial <- 1 to 3) {
+      val shingles = Array.fill(size)(rnd.nextLong())
+      assert(MinHasher.simhash(shingles) == naive(shingles), s"size=$size trial=$trial")
+    }
+  }
+
   test("simhash hamming distance separates near from far") {
     val rnd = new scala.util.Random(11)
     val base = randText(rnd, 200)
