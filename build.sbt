@@ -19,6 +19,10 @@ run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // "[success] Total time: ..." footer so the benchmark's bare JSON line is
 // the LAST line of stdout (a last-line parser then just works).
 Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not another task —
+// exclude it from the unused-key lint so the warning doesn't precede
+// machine-parsed output.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
