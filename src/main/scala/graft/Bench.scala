@@ -111,15 +111,18 @@ object Bench {
     val sigUnits = sys.env.getOrElse("SPARK_GRAFT_SIG_UNITS", "2000000").toLong
     val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") == "1"
 
-    def emit(json: String): Unit = {
+    def emit(json: String, preliminary: Boolean = false): Unit = {
       // Three delivery paths so the driver can machine-parse the result
       // even when a logger swallows or prefixes stdout lines: a
       // sentinel-prefixed copy, a file in the repo root, and — last on
       // stdout, with showSuccess := false suppressing sbt's footer — the
       // bare JSON line. The bare line prints for the preliminary emission
       // too: if the (long) scaling section is killed by a harness timeout,
-      // the queries-only JSON is still the final stdout line.
-      println(s"GRAFT_BENCH_JSON $json")
+      // the queries-only JSON is still the final stdout line. The
+      // preliminary emission carries a DISTINCT sentinel so a
+      // first-sentinel-match parser cannot mistake it for the final result.
+      val sentinel = if (preliminary) "GRAFT_BENCH_JSON_PARTIAL" else "GRAFT_BENCH_JSON"
+      println(s"$sentinel $json")
       try {
         java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.json"),
           (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -136,22 +139,38 @@ object Bench {
     // estimator of a query's true cost. A failed query is not retried.
     val doQueries = sys.env.getOrElse("SPARK_GRAFT_QUERIES", "1") == "1"
     val queryReps = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "3").toInt
+    // Queries whose best time is still >= heavyThreshold after the base reps
+    // get extra interleaved reps: one choppy VM window spanning 3 adjacent
+    // reps produced round-3's phantom "regressions" on exactly the >=2 s
+    // queries; more, later-in-time reps give the min a clean window to land.
+    val heavyReps = sys.env.getOrElse("SPARK_GRAFT_HEAVY_REPS", "3").toInt
+    val heavyThreshold = sys.env.getOrElse("SPARK_GRAFT_HEAVY_THRESHOLD", "1.5").toDouble
     val spark = session(cpus)
     val failed = scala.collection.mutable.ArrayBuffer[String]()
     val names = (if (doQueries) SparkEntry.queries.toSeq.sortBy(_._1) else Nil)
     val qBest = scala.collection.mutable.LinkedHashMap[String, Double]()
-    for (rep <- 1 to queryReps; (name, fn) <- names if !failed.contains(name)) {
+    val qReps = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
+    def runQuery(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame, rep: Int): Unit = {
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).count()
         val sec = (System.nanoTime() - t0) / 1e9
+        qReps(name) = qReps.getOrElse(name, Nil) :+ sec
         qBest(name) = math.min(qBest.getOrElse(name, Double.MaxValue), sec)
       } catch { case e: Throwable =>
         failed += name
-        qBest(name) = (System.nanoTime() - t0) / 1e9
+        // Record the failed attempt's elapsed time only when no successful
+        // rep exists — a later-rep failure must not clobber a valid min.
+        if (!qBest.contains(name)) qBest(name) = (System.nanoTime() - t0) / 1e9
         System.err.println(s"[bench] $name FAILED (rep $rep): ${e.getMessage}")
       }
     }
+    for (rep <- 1 to queryReps; (name, fn) <- names if !failed.contains(name))
+      runQuery(name, fn, rep)
+    val heavy = names.filter { case (n, _) =>
+      !failed.contains(n) && qBest.getOrElse(n, 0.0) >= heavyThreshold }
+    for (rep <- 1 to heavyReps; (name, fn) <- heavy if !failed.contains(name))
+      runQuery(name, fn, queryReps + rep)
     spark.stop()
     val results = names.map { case (name, _) => name -> qBest.getOrElse(name, 0.0) }
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
@@ -159,54 +178,74 @@ object Bench {
     val failedJson =
       if (failed.isEmpty) ""
       else failed.map(n => "\"" + n + "\"").mkString(""","failed":[""", ",", "]")
+    // Per-rep spreads for the heavy queries: makes a VM-noise episode
+    // visible in the artifact itself (a clean min with one 3x outlier rep
+    // reads as noise; uniformly slow reps read as a real regression).
+    val qRepsJson =
+      if (heavy.isEmpty) ""
+      else heavy.map { case (n, _) =>
+        "\"" + n + "\":" + qReps.getOrElse(n, Nil).map(s => f"$s%.2f").mkString("[", ",", "]")
+      }.mkString(""","query_rep_secs":{""", ",", "}")
     def fullJson(scalingJson: String): String =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"$failedJson$scalingJson}"""
-    if (doScaling) emit(fullJson("")) // preliminary (queries only)
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"$failedJson$qRepsJson$scalingJson}"""
+    if (doScaling) emit(fullJson(""), preliminary = true) // queries only
 
     // ---- scaling evidence: same job, same input, local[N] then local[4N]
     val levels = sys.env.getOrElse("SPARK_GRAFT_LEVELS", "8,32")
       .split(",").map(_.trim.toInt).toSeq
     var scalingJson = ""
     if (doScaling) {
-      val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "4").toInt
+      // 6 interleaved reps per level (was 4): three rounds of A/Bs show the
+      // clean-window efficiency is ~0.6 but a single choppy VM window can
+      // span several adjacent reps; more reps give the per-level min more
+      // independent chances to land in a clean window (~+100 s bench wall).
+      val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "6").toInt
       // Interleave levels across repetitions (fresh session each) and take
       // the per-level minimum: the sandbox VM has multi-second noise
       // episodes, and interleaving keeps one episode from biasing a level.
-      val best = scala.collection.mutable.Map[Int, Double]()
+      // ALL rep times are kept and emitted (rep_secs) so a noise episode is
+      // visible in the artifact itself, not just in the builder's notes.
+      val repSecs = scala.collection.mutable.Map[Int, List[Double]]().withDefaultValue(Nil)
       var docs = 0L
       for (_ <- 1 to reps; n <- levels) {
         val s = session(n)
         val (d, sec) = pipelineRunOnce(s, scalingUnits)
         s.stop()
         docs = d
-        best(n) = math.min(best.getOrElse(n, Double.MaxValue), sec)
+        repSecs(n) = repSecs(n) :+ sec
       }
+      val best = levels.map(n => n -> repSecs(n).min).toMap
       val (n0, n1) = (levels.head, levels.last)
       val (sec0, sec1) = (best(n0), best(n1))
       val eff = ((docs / sec1) / (docs / sec0)) / (n1.toDouble / n0)
       val per = levels.map { n =>
-        f""""local${n}":{"sec":${best(n)}%.2f,"docs_per_sec":${docs / best(n)}%.1f}""" }.mkString(",")
+        val rs = repSecs(n).map(s => f"$s%.2f").mkString("[", ",", "]")
+        f""""local${n}":{"sec":${best(n)}%.2f,"docs_per_sec":${docs / best(n)}%.1f,"rep_secs":$rs}""" }.mkString(",")
 
       // signature-stage (narrow map) scaling: interleaved, min per level.
       // Separate rep knob: the 2M-doc sig runs are long, and min-of-3
-      // bounds the bench wall while the cheaper pipeline runs keep 4.
+      // bounds the bench wall while the cheaper pipeline runs keep 6.
       val sigReps = sys.env.getOrElse("SPARK_GRAFT_SIG_REPS", "3").toInt
-      val sigBest = scala.collection.mutable.Map[Int, Double]()
+      val sigRepSecs = scala.collection.mutable.Map[Int, List[Double]]().withDefaultValue(Nil)
       var sigDocs = 0L
       for (_ <- 1 to sigReps; n <- levels) {
         val s = session(n)
         val (d, sec) = sigRunOnce(s, sigUnits)
         s.stop()
         sigDocs = d
-        sigBest(n) = math.min(sigBest.getOrElse(n, Double.MaxValue), sec)
+        sigRepSecs(n) = sigRepSecs(n) :+ sec
       }
+      val sigBest = levels.map(n => n -> sigRepSecs(n).min).toMap
       val sigEff = ((sigDocs / sigBest(n1)) / (sigDocs / sigBest(n0))) / (n1.toDouble / n0)
       val sigPer = levels.map { n =>
-        f""""local${n}":{"sec":${sigBest(n)}%.2f,"docs_per_sec":${sigDocs / sigBest(n)}%.1f}""" }.mkString(",")
+        val rs = sigRepSecs(n).map(s => f"$s%.2f").mkString("[", ",", "]")
+        f""""local${n}":{"sec":${sigBest(n)}%.2f,"docs_per_sec":${sigDocs / sigBest(n)}%.1f,"rep_secs":$rs}""" }.mkString(",")
 
       scalingJson =
         f""","scaling":{"docs":$docs,$per,"efficiency_${n0}_to_${n1}":$eff%.3f,""" +
-        f""""sig_stage":{"docs":$sigDocs,$sigPer,"efficiency_${n0}_to_${n1}":$sigEff%.3f}}"""
+        f""""throughput_docs_per_sec":{"local$n0":${docs / sec0}%.1f,"local$n1":${docs / sec1}%.1f},""" +
+        f""""sig_stage":{"docs":$sigDocs,$sigPer,"efficiency_${n0}_to_${n1}":$sigEff%.3f,""" +
+        f""""throughput_docs_per_sec":{"local$n0":${sigDocs / sigBest(n0)}%.1f,"local$n1":${sigDocs / sigBest(n1)}%.1f}}}"""
     }
 
     emit(fullJson(scalingJson))

@@ -142,8 +142,14 @@ object Pipeline {
   def candidatePairs(sigs: DataFrame, cfg: GraftConfig): Candidates = {
     // band_hashes are already seeded by band index, so the hash itself is
     // the join key; explode 32 rows per distinct doc, not 128 (numPerm).
-    val bands = sigs.select(col("node_id"), explode(col("band_hashes")).as("band_key"))
+    bandedPairs(
+      sigs.select(col("node_id"), explode(col("band_hashes")).as("band_key")), cfg)
+  }
 
+  /** Census + salting + within-group pair generation over any
+    * (node_id, band_key) table — shared by the MinHash-band tier (ST2) and
+    * the SimHash chunk tier (`simhashPairs`). */
+  private def bandedPairs(bands: DataFrame, cfg: GraftConfig): Candidates = {
     // Hot-band census (one partial-agg shuffle), kept distributed. Lazily
     // checkpointed: the pair job materializes it once for both joins below,
     // and the stats thunk then reads the cached partitions.
@@ -180,6 +186,55 @@ object Pipeline {
       BandStats(g(0), g(1), g(2))
     }
     Candidates(pairs, stats)
+  }
+
+  // ---------------------------------------------------------------- ST2'
+  /** SimHash Hamming tier as a first-class candidate generator, by
+    * pigeonhole chunk banding (the classic SimHash-dedup table scheme,
+    * Manku/Jain/Sarma WWW'07 — public technique): the 64-bit fingerprint is
+    * split into `maxHamming + 1` near-equal bit ranges, and any two
+    * fingerprints within Hamming distance `maxHamming` must agree on at
+    * least one whole chunk — so the chunk-key self-join has RECALL 1.0 for
+    * the Hamming gate (a structural guarantee, unlike the MinHash band
+    * s-curve) whenever no chunk group exceeds `maxBandGroup`. Candidates
+    * then pass an exact `bit_count(xor)` filter.
+    *
+    * Chunk keys flow through the same census/salting machinery as the
+    * MinHash bands (`bandedPairs`): low-entropy chunks (boilerplate-heavy
+    * corpora concentrate fingerprint regions) are salted or stop-banded
+    * identically — those guarded groups trade the exact-recall guarantee
+    * for bounded work, visibly, via the same honest recall counters.
+    *
+    * Returns (id_a, id_b, hamming) with id_a < id_b, hamming <= maxHamming.
+    * Role analog: the reference's cheap-filter tier promoted to a full
+    * candidate generator (/root/reference/src/process_matches.rs:255-264).
+    */
+  def simhashPairs(sigs: DataFrame, cfg: GraftConfig): DataFrame = {
+    val chunks = cfg.maxHamming + 1
+    require(chunks >= 1 && chunks <= 64, s"maxHamming=${cfg.maxHamming} out of range")
+    // near-equal widths covering all 64 bits (e.g. maxHamming=3 -> 4 x 16)
+    val base = 64 / chunks
+    val rem = 64 % chunks
+    val widths = Array.tabulate(chunks)(i => base + (if (i < rem) 1 else 0))
+    val starts = widths.scanLeft(0)(_ + _)
+    // key = xxh64(chunk index, chunk bits): seeding by index keeps equal
+    // bit patterns in different chunk positions from colliding into one
+    // join key (mirrors the band-index seeding of MinHash band_hashes)
+    val chunkKeys = array((0 until chunks).map { i =>
+      val bits =
+        if (widths(i) == 64) col("simhash")
+        else shiftrightunsigned(col("simhash"), starts(i))
+          .bitwiseAND(lit((1L << widths(i)) - 1))
+      xxhash64(lit(i), bits)
+    }: _*)
+    val bands = sigs.select(col("node_id"), explode(chunkKeys).as("band_key"))
+    val sh = sigs.select(col("node_id"), col("simhash"))
+    bandedPairs(bands, cfg).pairs
+      .join(sh.toDF("id_a", "sh_a"), "id_a")
+      .join(sh.toDF("id_b", "sh_b"), "id_b")
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int"))
+      .where(col("hamming") <= cfg.maxHamming)
+      .select("id_a", "id_b", "hamming")
   }
 
   private def pairsWithin(grouped: DataFrame): Dataset[CandidatePair] = {

@@ -125,23 +125,28 @@ object SparkEntry {
         .orderBy("cluster_key", "url")
     }),
 
-    // ---- standalone SimHash tier: Hamming distance over LSH candidates
-    // (rows-only: 64-bit SimHash values are a custom kernel, not ANSI-SQL;
-    // the kernel's separation property is gated in MinHasherSpec and the
-    // hamming gate participates in the oracle-checked pipeline via
-    // pipeline_clusters' pass rule)
-    "simhash_near" -> ((s, dir) => {
-      val contents = Pipeline.distinctContents(
-        Pipeline.extract(PagesGen.fromDocuments(s, dir), cfg))
-      val sigs = Pipeline.signatures(contents, cfg)
-      val sh = sigs.select(col("node_id"), col("simhash"))
-      Pipeline.candidatePairs(sigs, cfg).pairs
-        .join(sh.withColumnRenamed("node_id", "id_a").withColumnRenamed("simhash", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed("node_id", "id_b").withColumnRenamed("simhash", "sh_b"), "id_b")
-        .select(col("id_a"), col("id_b"),
-          bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int").as("hamming"))
-        .where(col("hamming") <= cfg.maxHamming)
-        .orderBy("id_a", "id_b")
+    // ---- standalone SimHash tier (pigeonhole chunk banding), hash-checked
+    // against planted structure: the corpus is every document (node 2d)
+    // plus, for doc_id % 7 == 3, an identical copy (node 2d+1). Identical
+    // text => identical SimHash => Hamming 0, and the chunk tier's
+    // pigeonhole property makes finding every planted pair a STRUCTURAL
+    // guarantee (all chunks agree), so the restricted output is a pure
+    // function of the plant — ANSI-SQL-expressible. The tier still runs
+    // its full census/salt/join machinery over the real corpus; pairs at
+    // Hamming 1..maxHamming (and exclusion beyond) are gated by
+    // PipelineSpec's brute-force-equality test, and the kernel's
+    // separation property in MinHasherSpec.
+    "simhash_planted" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val base = d.select((col("doc_id") * 2).as("node_id"), col("text"))
+      val copies = d.where(pmod(col("doc_id"), lit(7)) === 3)
+        .select((col("doc_id") * 2 + 1).as("node_id"), col("text"))
+      val corpus = base.union(copies)
+        .withColumn("n_bytes", length(col("text")).cast("long"))
+      Pipeline.simhashPairs(Pipeline.signatures(corpus, cfg), cfg)
+        .where(pmod(col("id_a"), lit(2)) === 0 && col("id_b") === col("id_a") + 1)
+        .select(floor(col("id_a") / 2).cast("long").as("doc_id"))
+        .orderBy("doc_id")
     }),
 
     // ---- ST0 exact-identity group-size histogram: extract stage vs pure SQL
@@ -179,17 +184,25 @@ object SparkEntry {
     // so (a) LSH candidate generation cannot miss the pair (256-bit/32-band
     // miss prob ~1e-31) and (b) the pair is each side's argmax — top-1
     // membership is a pure function of the plant, ANSI-SQL-expressible.
-    // (Raw-corpus approximate top-k stays covered rows-only by ivf_top3 and
-    // by SimilaritySpec's recall-vs-brute-force gates.)
+    // (Raw-corpus approximate top-k recall stays gated by SimilaritySpec's
+    // recall-vs-brute-force tests.)
     "ann_top1" -> ((s, dir) =>
       Similarity.annTopK(embWithNearDups(s, dir), 1)
         .where(col("vec_id") >= lit(1000000L) || pmod(col("vec_id"), lit(5)) === 0)
         .select("vec_id", "neighbor_id")
         .orderBy("vec_id")),
-    // ---- IVF variant (rows-only driver check; recall gate in SimilaritySpec)
-    "ivf_top3" -> ((s, dir) =>
-      Similarity.ivfTopK(emb(s, dir), 3, nlist = 16, nprobe = 4)
-        .select("vec_id", "neighbor_id", "rank").orderBy("vec_id", "rank")),
+    // ---- IVF variant, hash-checked the same way as ann_top1: IVF over the
+    // corpus-with-planted-near-copies, emitting each planted vector's top-1.
+    // Cosine(copy, source) >= 0.999 puts the pair in the same (or an
+    // adjacently-probed, nprobe=4) coarse cell and makes it each side's
+    // argmax, so top-1 membership is a pure function of the plant.
+    // (Raw-corpus IVF top-k recall vs brute force stays gated in
+    // SimilaritySpec.)
+    "ivf_top1" -> ((s, dir) =>
+      Similarity.ivfTopK(embWithNearDups(s, dir), 1, nlist = 16, nprobe = 4)
+        .where(col("vec_id") >= lit(1000000L) || pmod(col("vec_id"), lit(5)) === 0)
+        .select("vec_id", "neighbor_id")
+        .orderBy("vec_id")),
 
     // ---- embedding-cosine near-dup clustering, hash-checked: the corpus
     // plants a near copy (per-dim scale 0.96..1.04, cosine >= 0.999) for
@@ -559,6 +572,15 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT vec_id + 1000000, vec_id FROM embeddings WHERE vec_id % 5 = 0
         |) ORDER BY vec_id""".stripMargin,
+    "ivf_top1" ->
+      """SELECT vec_id, neighbor_id FROM (
+        |  SELECT vec_id, vec_id + 1000000 AS neighbor_id FROM embeddings WHERE vec_id % 5 = 0
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, vec_id FROM embeddings WHERE vec_id % 5 = 0
+        |) ORDER BY vec_id""".stripMargin,
+    "simhash_planted" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+        |WHERE doc_id % 7 = 3 ORDER BY doc_id""".stripMargin,
     "pipeline_membership" ->
       """WITH RECURSIVE pages AS (
         |  SELECT 'https://host' || CAST(doc_id % 97 AS VARCHAR) || '.example/d/' || CAST(doc_id AS VARCHAR) || '/0' AS url, text FROM documents

@@ -72,9 +72,25 @@ final class ParquetSnapshotIO(root: String, configHash: String) extends TableIO 
   private def manifestPath(stage: String) = stageDir(stage).resolve("_manifest.json")
 
   /** ST4's per-iteration CC label commits live beside the stage snapshots,
-    * keyed by config hash (the label store itself re-keys by edge hash). */
-  override def ccDurableDir: Option[String] =
-    Some(stageDir("st4_cc").resolve(configHash).toString)
+    * keyed by config hash (the label store itself re-keys by edge hash).
+    * Sibling dirs from OTHER config hashes are swept here: a config change
+    * makes their labels unresumable (the pipeline would recompute edges
+    * under the new config), so without the sweep every config change would
+    * strand one st4_cc/<hash> dir forever. */
+  override def ccDurableDir: Option[String] = {
+    val base = stageDir("st4_cc")
+    if (Files.exists(base)) {
+      import scala.jdk.CollectionConverters._
+      Files.list(base).iterator().asScala
+        .filter(d => Files.isDirectory(d) && d.getFileName.toString != configHash)
+        .foreach { d =>
+          try Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(Files.delete)
+          catch { case _: java.io.IOException => () } // concurrent writer; next run sweeps
+        }
+    }
+    Some(base.resolve(configHash).toString)
+  }
 
   override def load(spark: SparkSession, stage: String): Option[(DataFrame, Manifest)] = {
     val mp = manifestPath(stage)

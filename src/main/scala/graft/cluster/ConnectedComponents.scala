@@ -171,15 +171,18 @@ object ConnectedComponents {
         s"""{"edge_hash": "$edgeHash", "iter": $iter}""".getBytes(StandardCharsets.UTF_8))
       Files.move(tmp, manifest, StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
-      // GC: once the manifest points at iter k, iter k-1 is unreachable by
-      // any resume — drop it so a long propagation holds at most one
-      // superseded label table instead of one per iteration.
-      val prev = root.resolve(s"labels-iter${iter - 1}")
-      if (Files.exists(prev)) {
-        import scala.jdk.CollectionConverters._
-        Files.walk(prev).sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(Files.delete)
-      }
+      // GC: once the manifest points at iter k, every OTHER labels-iter*
+      // dir is unreachable by any resume — sweep them all (not just k-1:
+      // a crash between a past manifest rename and its GC would otherwise
+      // strand that iteration's dir forever, since later commits would only
+      // ever delete their own predecessor).
+      import scala.jdk.CollectionConverters._
+      Files.list(root).iterator().asScala
+        .filter(d => d.getFileName.toString.startsWith("labels-iter") && d != p)
+        .foreach { d =>
+          Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(Files.delete)
+        }
       labels.sparkSession.read.parquet(p.toString)
     }
   }

@@ -199,13 +199,26 @@ object IncrementalDedup {
     val newBands = sigs.select(col("node_id"), explode(col("band_hashes")).as("band_key"))
     val storedBands = readOrEmpty(spark, dirs.bandIndex, newBands)
     val crossPairs = crossBatchCandidates(newBands, storedBands, cfg)
-    val newPairs = Pipeline.candidatePairs(sigs, cfg).pairs
-    val candidates = newPairs.union(crossPairs).distinct().localCheckpoint(false)
+      .distinct().localCheckpoint(false)
+    val newPairs = Pipeline.candidatePairs(sigs, cfg).pairs.localCheckpoint(false)
 
-    // ---- verify at the signature level (stored texts are not retained):
-    // MinHash-estimated Jaccard over the 128-perm signatures + SimHash
-    // Hamming. Threshold on the estimate is cfg.minJaccard minus 2 sigma
-    // (sigma = sqrt(J(1-J)/numPerm)) so planted true pairs still pass.
+    // ---- verify. Two tiers, matching what each side can know:
+    //  - new-vs-new pairs have BOTH texts in this batch, so they get the
+    //    full batch ST3 pass rule (exact shingle Jaccard, SimHash Hamming,
+    //    suffix-automaton LCS) — identical semantics to Pipeline.run;
+    //  - cross-batch pairs (stored texts are not retained) pass on
+    //    signature-level gates only: MinHash-estimated Jaccard over the
+    //    128-perm signatures OR SimHash Hamming. Threshold on the estimate
+    //    is cfg.minJaccard minus 2 sigma (sigma = sqrt(J(1-J)/numPerm)) so
+    //    planted true pairs still pass. This tier is strictly MORE
+    //    permissive than batch ST3 (no exact-J, no LCS gate, OR of the
+    //    gates); every edge it accepts is counted as est_only in the batch
+    //    metrics row so the divergence is measurable, and
+    //    IncrementalDedupSpec's parity test gates cluster agreement with
+    //    the batch pipeline on a planted corpus.
+    val newVerified = Pipeline.verifyPairs(newPairs, contents.select("node_id", "text"), cfg)
+      .where(col("passed")).select("id_a", "id_b")
+      .localCheckpoint(false)
     val allSigs = (if (exists(dirs.signatures))
       spark.read.parquet(dirs.signatures).unionByName(sigs) else sigs)
       .select("node_id", "minhash", "simhash")
@@ -216,19 +229,28 @@ object IncrementalDedup {
       col("minhash").as("mh_a"), col("simhash").as("sh_a"))
     val b = allSigs.select(col("node_id").as("id_b"),
       col("minhash").as("mh_b"), col("simhash").as("sh_b"))
-    val verified = candidates.join(a, "id_a").join(b, "id_b")
+    val crossVerified = crossPairs.join(a, "id_a").join(b, "id_b")
       .as[(Long, Long, Seq[Long], Long, Seq[Long], Long)]
       .flatMap { case (idA, idB, mhA, shA, mhB, shB) =>
         val est = graft.signatures.MinHasher.estimateJaccard(mhA.toArray, mhB.toArray)
         val ham = java.lang.Long.bitCount(shA ^ shB)
         if (est >= estMin || ham <= maxHam) Some((idA, idB)) else None
       }.toDF("id_a", "id_b")
+      .localCheckpoint(false)
+    val verified = newVerified.union(crossVerified)
 
-    // ---- append state
+    // ---- append state (+ the per-batch metrics row: the durable counter
+    // that makes the est-only divergence auditable over a stream's life)
     appendParquet(sigs.drop("text"), dirs.signatures)
     appendParquet(newBands, dirs.bandIndex)
     appendParquet(newMemberRows, dirs.members)
     appendParquet(verified, dirs.edges)
+    appendParquet(
+      Seq((batchId, newPairs.count(), crossPairs.count(),
+        newVerified.count(), crossVerified.count(), System.currentTimeMillis()))
+        .toDF("batch_id", "candidates_new", "candidates_cross",
+          "edges_exact_verified", "edges_est_only", "committed_ms"),
+      s"${dirs.root}/metrics")
 
     // ---- recluster, bounded to AFFECTED components.
     // Closure argument: an old component's labels can change only through
@@ -313,24 +335,35 @@ object IncrementalDedup {
   }
 
   /** Cross-batch candidate pairs: each NEW band row probes the stored band
-    * index on its key. Census first (restricted by a semi-join to the
-    * batch's keys — the stored index can hold billions of keys, the batch
-    * thousands); stored band groups over `maxBandGroup` are SALTED into
-    * ceil(count/maxBandGroup) cells with the same xxh64(node_id, band_key)
-    * bucketing the batch path uses, and each new member probes exactly ONE
-    * cell — per-new-member work stays O(maxBandGroup) instead of growing
-    * with accumulated boilerplate-band size, at the cost of partial in-band
-    * recall (a true pair still surfaces through its other bands). Only
-    * groups beyond hardMaxBandGroup are dropped, mirroring
-    * Pipeline.candidatePairs. The hot side is tiny (hot keys touched by
-    * this batch), so it is broadcast explicitly. */
+    * index on its key. COMBINED census first: per band key, stored members
+    * (restricted by a semi-join to the batch's keys — the stored index can
+    * hold billions of keys, the batch thousands) PLUS the batch's own
+    * contribution. Counting both sides matters: a stored group just under
+    * `maxBandGroup` would otherwise pair cold against an arbitrarily large
+    * batch contribution on the same key, exceeding the intended per-cell
+    * bound — the combined count keeps every join cell at ~maxBandGroup
+    * regardless of which side the mass sits on, exactly matching the batch
+    * path (where one table holds all members). Groups over the threshold
+    * are SALTED into ceil(count/maxBandGroup) cells with the same
+    * xxh64(node_id, band_key) bucketing the batch path uses, and each new
+    * member probes exactly ONE cell — per-new-member work stays
+    * O(maxBandGroup) instead of growing with accumulated boilerplate-band
+    * size, at the cost of partial in-band recall (a true pair still
+    * surfaces through its other bands). Only groups beyond
+    * hardMaxBandGroup are dropped, mirroring Pipeline.candidatePairs. Both
+    * census tables are bounded by the batch's distinct band keys, so the
+    * hot side is broadcast explicitly. */
   private[graft] def crossBatchCandidates(newBands: DataFrame, storedBands: DataFrame,
       cfg: GraftConfig): DataFrame = {
-    val storedHotCap = if (cfg.saltHotBands) cfg.hardMaxBandGroup.toLong else cfg.maxBandGroup.toLong
+    val hotCap = if (cfg.saltHotBands) cfg.hardMaxBandGroup.toLong else cfg.maxBandGroup.toLong
     val maxGroup = cfg.maxBandGroup.toLong
-    val hotStored = storedBands
+    // inner join: a cross pair needs >=1 member on EACH side of the key
+    val storedCounts = storedBands
       .join(broadcast(newBands.select("band_key").distinct()), Seq("band_key"), "left_semi")
-      .groupBy("band_key").count()
+      .groupBy("band_key").agg(count(lit(1)).as("stored_n"))
+    val batchCounts = newBands.groupBy("band_key").agg(count(lit(1)).as("batch_n"))
+    val hot = storedCounts.join(batchCounts, Seq("band_key"))
+      .select(col("band_key"), (col("stored_n") + col("batch_n")).as("count"))
       .where(col("count") > cfg.maxBandGroup)
     def crossJoinPairs(n: DataFrame, s: DataFrame, keys: Seq[String]): DataFrame =
       n.as("n").join(s.as("s"), keys)
@@ -340,11 +373,11 @@ object IncrementalDedup {
         .where(col("id_a") =!= col("id_b"))
     val coldCross = crossJoinPairs(
       newBands,
-      storedBands.join(broadcast(hotStored.select("band_key")), Seq("band_key"), "left_anti"),
+      storedBands.join(broadcast(hot.select("band_key")), Seq("band_key"), "left_anti"),
       Seq("band_key"))
     val saltExpr = pmod(xxhash64(col("node_id"), col("band_key")),
       floor((col("count") + lit(maxGroup - 1)) / lit(maxGroup)).cast("long"))
-    val survivingHot = hotStored.where(col("count") <= storedHotCap)
+    val survivingHot = hot.where(col("count") <= hotCap)
     val hotCross = crossJoinPairs(
       newBands.join(broadcast(survivingHot), Seq("band_key")).withColumn("salt", saltExpr),
       storedBands.join(broadcast(survivingHot), Seq("band_key")).withColumn("salt", saltExpr),
@@ -441,13 +474,25 @@ object IncrementalDedup {
 
     // a new id colliding with a stored id the mapping does NOT touch would
     // merge two distinct contents under one key (checked over the tables
-    // not yet rewritten — completed ones legitimately hold the new ids)
-    val storedIds =
-      Seq("signatures" -> dirs.signatures, "members" -> dirs.members, "clusters" -> dirs.clusters)
+    // not yet rewritten — completed ones legitimately hold the new ids).
+    // edges/band_index ids are normally subsets of the node-id tables, but
+    // the scan includes them anyway: if that invariant is ever broken (e.g.
+    // partial manual state surgery), a collision there must refuse too,
+    // not silently merge — the extra scan is cheap next to the rewrite.
+    val nodeIdTables =
+      Seq("signatures" -> dirs.signatures, "members" -> dirs.members, "clusters" -> dirs.clusters,
+        "band_index" -> dirs.bandIndex)
         .filter { case (name, p) => !done.contains(name) && exists(p) }
         .map { case (_, p) => spark.read.parquet(p).select(col("node_id").as("id")) }
-        .reduceOption(_ union _)
-        .map(_.distinct())
+    val edgeIdTables =
+      if (done.contains("edges") || !exists(dirs.edges)) Nil
+      else {
+        val e = spark.read.parquet(dirs.edges)
+        Seq(e.select(col("id_a").as("id")), e.select(col("id_b").as("id")))
+      }
+    val storedIds = (nodeIdTables ++ edgeIdTables)
+      .reduceOption(_ union _)
+      .map(_.distinct())
     storedIds.foreach { ids =>
       // mapping rows whose new_id equals a stored id, where that stored id
       // is NOT itself remapped away by the same mapping

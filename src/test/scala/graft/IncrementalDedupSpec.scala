@@ -298,6 +298,85 @@ class IncrementalDedupSpec extends SparkSpec {
       "cross-batch near-dup through a hot stored band must still cluster (salted probe)")
   }
 
+  test("batch-vs-incremental parity on a planted corpus; est-only edges counted") {
+    // Planted truth: 3 dup groups whose members arrive in DIFFERENT batches
+    // (forcing cross-batch, est-only verified edges), plus in-batch pairs
+    // (exact-ST3-verified edges) and unrelated singletons. Batch ST3 and the
+    // incremental two-tier verify must agree on the final url partition —
+    // this is the gate on the documented "cross-batch pairs pass on
+    // signature estimates only" permissiveness trade.
+    def toks(g: String) = (1 to 60).map(i => s"$g$i").mkString(" ")
+    def near(g: String, odd: String) = (1 to 60).map(i => if (i == 30) odd else s"$g$i").mkString(" ")
+    val all = Seq(
+      // group A: base + near copy (batch 1) + another near copy (batch 2);
+      // in-batch pairs must be NEAR copies — exact copies collapse to one
+      // node at distinctContents and produce no edge at all
+      page("u://a1", toks("aa")), page("u://a2", near("aa", "zq0")), page("u://a3", near("aa", "zq1")),
+      // group B: base (batch 1) + near copy (batch 3)
+      page("u://b1", toks("bb")), page("u://b2", near("bb", "zq2")),
+      // group C: near pair entirely within batch 2
+      page("u://c1", toks("cc")), page("u://c2", near("cc", "zq3")),
+      // unrelated singletons, one per batch
+      page("u://s1", toks("dd")), page("u://s2", toks("ee")), page("u://s3", toks("ff")))
+    val byUrl = all.map(p => p._1 -> p).toMap
+    val batches = Seq(
+      Seq("u://a1", "u://a2", "u://b1", "u://s1"),
+      Seq("u://a3", "u://c1", "u://c2", "u://s2"),
+      Seq("u://b2", "u://s3")).map(_.map(byUrl))
+
+    def groupsOf(rows: Array[(String, Long)]): Set[Set[String]] =
+      rows.groupBy(_._2).values.map(_.map(_._1).toSet).filter(_.size >= 2).toSet
+
+    // one-shot batch pipeline over the full corpus
+    val batchGroups = groupsOf(
+      Pipeline.run(spark, df(all), cfg).clusters.select("url", "cluster_id")
+        .collect().map(r => (r.getString(0), r.getLong(1))))
+    assert(batchGroups == Set(Set("u://a1", "u://a2", "u://a3"), Set("u://b1", "u://b2"),
+      Set("u://c1", "u://c2")), s"batch pipeline missed the planted truth: $batchGroups")
+
+    // same corpus, incrementally
+    val root = Files.createTempDirectory("graft-parity").toString
+    val dirs = StateDirs(root)
+    batches.zipWithIndex.foreach { case (b, i) =>
+      IncrementalDedup.processBatch(df(b), cfg, dirs, batchId = i.toLong) }
+    val incGroups = groupsOf(spark.read.parquet(dirs.clusters).select("url", "cluster_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))))
+    assert(incGroups == batchGroups,
+      s"incremental clustering diverged from batch: $incGroups vs $batchGroups")
+
+    // the metrics table makes the est-only trade auditable: cross-batch
+    // edges (a3->a1/a2, b2->b1) were accepted on signature estimates, and
+    // in-batch edges (a1-a2, c1-c2) got the exact ST3 pass
+    val m = spark.read.parquet(s"$root/metrics")
+    assert(m.columns.toSet == Set("batch_id", "candidates_new", "candidates_cross",
+      "edges_exact_verified", "edges_est_only", "committed_ms"))
+    val sums = m.agg(org.apache.spark.sql.functions.sum("edges_exact_verified"),
+      org.apache.spark.sql.functions.sum("edges_est_only")).collect()(0)
+    assert(sums.getLong(0) >= 2, s"expected exact-verified in-batch edges, got ${sums.getLong(0)}")
+    assert(sums.getLong(1) >= 2, s"expected est-only cross-batch edges, got ${sums.getLong(1)}")
+  }
+
+  test("combined census: stored+batch jointly over maxBandGroup salts the cell") {
+    import org.apache.spark.sql.functions.{xxhash64, pmod, lit => flit}
+    val cfgC = cfg.copy(maxBandGroup = 4)
+    // One band key: 3 stored members (cold under a stored-only census) plus
+    // 3 batch members -> combined 6 > 4 -> the cell must be salted into
+    // ceil(6/4) = 2 cells; an unsalted cold join would emit all 9 pairs.
+    val key = 77L
+    val stored = Seq(1L, 2L, 3L).map((_, key)).toDF("node_id", "band_key")
+    val batch = Seq(11L, 12L, 13L).map((_, key)).toDF("node_id", "band_key")
+    val got = IncrementalDedup.crossBatchCandidates(batch, stored, cfgC)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val salts = stored.union(batch)
+      .withColumn("salt", pmod(xxhash64($"node_id", $"band_key"), flit(2L)))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val expected = (for {
+      n <- Seq(11L, 12L, 13L); s <- Seq(1L, 2L, 3L) if salts(n) == salts(s)
+    } yield (math.min(n, s), math.max(n, s))).toSet
+    assert(expected.size < 9, "test fixture degenerate: all members hashed to one salt cell")
+    assert(got == expected, s"expected salted cells $expected, got $got")
+  }
+
   test("v1 state migrates in place; future-versioned state is refused") {
     val root = Files.createTempDirectory("graft-inc6").toString
     val dirs = StateDirs(root)
