@@ -116,6 +116,35 @@ class ResumeSpec extends SparkSpec {
     assert(rep.sameElements(fresh))
   }
 
+  test("stale CC label stores are swept: other config hashes and stranded iteration dirs") {
+    import java.nio.file.Paths
+    val root = Files.createTempDirectory("graft-cc-sweep").toString
+    val pages = PagesGen.pages(spark, spec)
+    val cfgA = cfg.copy(ccLocalThreshold = 0L) // distributed CC -> durable label commits
+    val ioA = new ParquetSnapshotIO(root, cfgA.configHash)
+    // a stranded label dir (crash between a past manifest rename and its GC,
+    // manifest long gone): the first commit of any run must sweep it
+    val stranded = Paths.get(root, "st4_cc", cfgA.configHash, "labels-iter99")
+    Files.createDirectories(stranded)
+    Files.write(stranded.resolve("junk"), Array[Byte](1))
+    Pipeline.run(spark, pages, cfgA, ioA).report.count()
+    val storeA = Paths.get(root, "st4_cc", cfgA.configHash)
+    assert(Files.exists(storeA), "durable CC store missing after distributed run")
+    assert(!Files.exists(stranded), "stranded labels-iter dir survived a commit")
+    import scala.jdk.CollectionConverters._
+    assert(Files.list(storeA).iterator().asScala
+      .count(_.getFileName.toString.startsWith("labels-iter")) == 1,
+      "more than one labels-iter dir retained after convergence")
+
+    // a config change makes A's labels unresumable: B's run sweeps the
+    // whole sibling store instead of stranding one dir per config change
+    val cfgB = cfgA.copy(minJaccard = 0.9)
+    val ioB = new ParquetSnapshotIO(root, cfgB.configHash)
+    Pipeline.run(spark, pages, cfgB, ioB).report.count()
+    assert(!Files.exists(storeA), "stale config-hash CC store not swept")
+    assert(Files.exists(Paths.get(root, "st4_cc", cfgB.configHash)))
+  }
+
   test("config change invalidates snapshots (stale-config refusal)") {
     val root = Files.createTempDirectory("graft-stale").toString
     val pages = PagesGen.pages(spark, spec)
