@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -139,11 +139,23 @@ object Pipeline {
     * bands, and the driver must see only the three scalar counters (and
     * those only when metrics are read). Returns the pair table plus a lazy
     * BandStats thunk riding on the cached census. */
-  def candidatePairs(sigs: DataFrame, cfg: GraftConfig): Candidates = {
-    // band_hashes are already seeded by band index, so the hash itself is
-    // the join key; explode 32 rows per distinct doc, not 128 (numPerm).
-    bandedPairs(
-      sigs.select(col("node_id"), explode(col("band_hashes")).as("band_key")), cfg)
+  def candidatePairs(sigs: DataFrame, cfg: GraftConfig): Candidates =
+    bandedPairs(bandKeys(sigs, cfg), cfg)
+
+  /** All (node_id, band_key) rows this config's candidate generators join
+    * on: the MinHash band hashes (already seeded by band index, so the hash
+    * itself is the join key; 32 rows per distinct doc, not 128), plus the
+    * SimHash pigeonhole chunk keys when `cfg.simhashTier` is on — ONE
+    * unified key table, so ST2 runs one census and one pair shuffle for
+    * both tiers, and the incremental mode's durable band index stores (and
+    * therefore cross-batch-probes) every enabled tier with no extra state.
+    * Chunk-collision candidates above `maxHamming` are a superset, not an
+    * error: ST3's exact pass rule decides; the false-collision rate per
+    * chunk is ~2^-16 and hot chunks salt like any hot band. */
+  def bandKeys(sigs: DataFrame, cfg: GraftConfig): DataFrame = {
+    val mh = sigs.select(col("node_id"), explode(col("band_hashes")).as("band_key"))
+    if (!cfg.simhashTier || cfg.maxHamming < 0) mh
+    else mh.union(sigs.select(col("node_id"), explode(simhashChunkKeys(cfg)).as("band_key")))
   }
 
   /** Census + salting + within-group pair generation over any
@@ -210,24 +222,7 @@ object Pipeline {
     * candidate generator (/root/reference/src/process_matches.rs:255-264).
     */
   def simhashPairs(sigs: DataFrame, cfg: GraftConfig): DataFrame = {
-    val chunks = cfg.maxHamming + 1
-    require(chunks >= 1 && chunks <= 64, s"maxHamming=${cfg.maxHamming} out of range")
-    // near-equal widths covering all 64 bits (e.g. maxHamming=3 -> 4 x 16)
-    val base = 64 / chunks
-    val rem = 64 % chunks
-    val widths = Array.tabulate(chunks)(i => base + (if (i < rem) 1 else 0))
-    val starts = widths.scanLeft(0)(_ + _)
-    // key = xxh64(chunk index, chunk bits): seeding by index keeps equal
-    // bit patterns in different chunk positions from colliding into one
-    // join key (mirrors the band-index seeding of MinHash band_hashes)
-    val chunkKeys = array((0 until chunks).map { i =>
-      val bits =
-        if (widths(i) == 64) col("simhash")
-        else shiftrightunsigned(col("simhash"), starts(i))
-          .bitwiseAND(lit((1L << widths(i)) - 1))
-      xxhash64(lit(i), bits)
-    }: _*)
-    val bands = sigs.select(col("node_id"), explode(chunkKeys).as("band_key"))
+    val bands = sigs.select(col("node_id"), explode(simhashChunkKeys(cfg)).as("band_key"))
     val sh = sigs.select(col("node_id"), col("simhash"))
     bandedPairs(bands, cfg).pairs
       .join(sh.toDF("id_a", "sh_a"), "id_a")
@@ -235,6 +230,28 @@ object Pipeline {
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int"))
       .where(col("hamming") <= cfg.maxHamming)
       .select("id_a", "id_b", "hamming")
+  }
+
+  /** The `maxHamming + 1` pigeonhole chunk keys of a 64-bit `simhash`
+    * column: near-equal bit ranges covering all 64 bits (e.g. maxHamming=3
+    * -> 4 x 16), each keyed as xxh64(chunk index, chunk bits) — seeding by
+    * index keeps equal bit patterns in different chunk positions from
+    * colliding into one join key (mirrors the band-index seeding of the
+    * MinHash band_hashes). */
+  private def simhashChunkKeys(cfg: GraftConfig): Column = {
+    val chunks = cfg.maxHamming + 1
+    require(chunks >= 1 && chunks <= 64, s"maxHamming=${cfg.maxHamming} out of range")
+    val base = 64 / chunks
+    val rem = 64 % chunks
+    val widths = Array.tabulate(chunks)(i => base + (if (i < rem) 1 else 0))
+    val starts = widths.scanLeft(0)(_ + _)
+    array((0 until chunks).map { i =>
+      val bits =
+        if (widths(i) == 64) col("simhash")
+        else shiftrightunsigned(col("simhash"), starts(i))
+          .bitwiseAND(lit((1L << widths(i)) - 1))
+      xxhash64(lit(i), bits)
+    }: _*)
   }
 
   private def pairsWithin(grouped: DataFrame): Dataset[CandidatePair] = {

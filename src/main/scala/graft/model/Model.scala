@@ -16,6 +16,17 @@ final case class GraftConfig(
     bands: Int = 32,
     minJaccard: Double = 0.8,
     maxHamming: Int = 3,
+    /** Enable the SimHash pigeonhole chunk tier as a SECOND candidate
+      * generator beside MinHash banding (ST2'): chunk keys flow through the
+      * same census/salt machinery and the union gives ST3's Hamming clause
+      * structural recall independent of the Jaccard s-curve (a pair within
+      * `maxHamming` always shares a whole chunk). Off by default: on text
+      * corpora the two tiers overlap almost entirely (similar fingerprints
+      * come from similar shingle sets), so the default spends no extra
+      * shuffle on the chunk keys; corpora where the Hamming gate must not
+      * ride the s-curve turn it on. Incremental mode inherits the knob —
+      * chunk keys are stored in the same durable band index. */
+    simhashTier: Boolean = false,
     /** Longest-common-substring ratio (lcs_len / min(len_a, len_b)) floor.
       * 0.0 disables the LCS gate; it is always *computed* per verified pair. */
     minLcsRatio: Double = 0.0,

@@ -195,8 +195,9 @@ object IncrementalDedup {
 
     // ---- candidates: new-vs-new within the batch bands, plus new-vs-stored
     // through the durable band index (salted hot-band treatment, see
-    // crossBatchCandidates)
-    val newBands = sigs.select(col("node_id"), explode(col("band_hashes")).as("band_key"))
+    // crossBatchCandidates). bandKeys includes the SimHash chunk keys when
+    // cfg.simhashTier is on, so the stored index probes every enabled tier.
+    val newBands = Pipeline.bandKeys(sigs, cfg)
     val storedBands = readOrEmpty(spark, dirs.bandIndex, newBands)
     val crossPairs = crossBatchCandidates(newBands, storedBands, cfg)
       .distinct().localCheckpoint(false)

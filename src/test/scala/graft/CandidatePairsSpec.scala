@@ -66,6 +66,28 @@ class CandidatePairsSpec extends SparkSpec {
     assert(run(2) == run(7))
   }
 
+  test("simhashTier surfaces a Hamming-close pair invisible to MinHash banding") {
+    val v = 0x0123456789abcdefL
+    // docs 1 and 2: NO shared MinHash band key (the banding tier is blind to
+    // them) but SimHash within maxHamming=3 (bits 7 and 50 flipped — chunks
+    // 1 and 2 of the 4x16 split still agree); doc 3 unrelated on both tiers
+    val rows = Seq(
+      (1L, (0 until 32).map(i => 100L + i), v),
+      (2L, (0 until 32).map(i => 200L + i), v ^ (1L << 7) ^ (1L << 50)),
+      (3L, (0 until 32).map(i => 300L + i), ~v))
+    val df = rows.toDF("node_id", "band_hashes", "simhash")
+    assert(Pipeline.candidatePairs(df, GraftConfig()).pairs.count() == 0,
+      "MinHash-only tier found a pair with zero shared band keys")
+    val on = Pipeline.candidatePairs(df, GraftConfig(simhashTier = true)).pairs
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(on == Set((1L, 2L)),
+      s"chunk tier must surface exactly the Hamming-close pair: $on")
+    // Jaccard-only mode (maxHamming < 0) has no Hamming gate: the tier is
+    // meaningless there and must stay off even when the knob is set
+    assert(Pipeline.candidatePairs(df,
+      GraftConfig(simhashTier = true, maxHamming = -1)).pairs.count() == 0)
+  }
+
   test("10^4 hot bands stay distributed (no per-key driver state)") {
     // 10,000 distinct hot bands of 7 members each (> maxBandGroup = 5):
     // every one is salted via the census JOIN; the only driver-visible

@@ -377,6 +377,21 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(got == expected, s"expected salted cells $expected, got $got")
   }
 
+  test("simhashTier chunk keys flow into the durable band index") {
+    val root = Files.createTempDirectory("graft-inc-sh").toString
+    val dirs = StateDirs(root)
+    val c = cfg.copy(simhashTier = true)
+    IncrementalDedup.processBatch(df(Seq(page("u://a", baseText))), c, dirs, batchId = 1L)
+    // 32 MinHash band keys + (maxHamming+1)=4 pigeonhole chunk keys per node:
+    // cross-batch probing inherits the tier with no extra state machinery
+    assert(spark.read.parquet(dirs.bandIndex).count() == 36)
+    // a near copy in a later batch still clusters through the unified index
+    IncrementalDedup.processBatch(df(Seq(page("u://b", nearText))), c, dirs, batchId = 2L)
+    val cl = spark.read.parquet(dirs.clusters).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(cl("u://a") == cl("u://b"))
+  }
+
   test("v1 state migrates in place; future-versioned state is refused") {
     val root = Files.createTempDirectory("graft-inc6").toString
     val dirs = StateDirs(root)
