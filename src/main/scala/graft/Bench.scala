@@ -15,30 +15,8 @@ import graft.fixtures.PagesGen
   */
 object Bench {
 
-  private def session(cpus: Int): SparkSession = {
-    val s = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName(s"graft-bench-$cpus")
-      .config("spark.sql.shuffle.partitions", cpus.toString)
-      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
-      // dedup rows are tiny but CPU-heavy: let AQE keep small shuffles
-      // parallel instead of coalescing them to one serial partition
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64kb")
-      // serialized cache levels (SPARK_GRAFT_CACHE_LEVEL=MEMORY_AND_DISK_SER)
-      // compress blocks: fewer bytes through the bandwidth-bound block store
-      .config("spark.rdd.compress", "true")
-      .config("spark.eventLog.enabled", sys.env.getOrElse("SPARK_GRAFT_EVENTLOG", "false"))
-      .config("spark.eventLog.dir", "/tmp/spark-events")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.driver.host", "localhost")
-      // shuffle/spill on tmpfs: the sandbox block device has erratic
-      // latency; on a real cluster this is fast local NVMe
-      .config("spark.local.dir", "/dev/shm/graft-spark-tmp")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    s
-  }
+  private def session(cpus: Int): SparkSession =
+    graft.util.LocalSession(cpus, s"graft-bench-$cpus")
 
   /** One timed full-pipeline run over nUnits synthetic pages (tokensScale=4:
     * web-page-sized texts so compute dominates fixed per-job overhead) in a

@@ -30,17 +30,7 @@ object DurableProbe {
     val nUnits = if (args.length > 1) args(1).toLong else 800000L
     val root = if (args.length > 2) args(2) else "/dev/shm/graft-durable-probe"
     val tokensScale = if (args.length > 3) args(3).toInt else 1
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName(s"graft-durable-probe-$cpus")
-      .config("spark.sql.shuffle.partitions", cpus.toString)
-      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64kb")
-      .config("spark.ui.enabled", "false")
-      .config("spark.driver.host", "localhost")
-      .config("spark.local.dir", "/dev/shm/graft-spark-tmp")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.util.LocalSession(cpus, s"graft-durable-probe-$cpus")
 
     val cfg = GraftConfig(ccLocalThreshold = 0L)
     val io = new ParquetSnapshotIO(root, cfg.configHash)

@@ -131,11 +131,13 @@ object SparkEntry {
     // text => identical SimHash => Hamming 0, and the chunk tier's
     // pigeonhole property makes finding every planted pair a STRUCTURAL
     // guarantee (all chunks agree), so the restricted output is a pure
-    // function of the plant — ANSI-SQL-expressible. The tier still runs
-    // its full census/salt/join machinery over the real corpus; pairs at
-    // Hamming 1..maxHamming (and exclusion beyond) are gated by
-    // PipelineSpec's brute-force-equality test, and the kernel's
-    // separation property in MinHasherSpec.
+    // function of the plant — ANSI-SQL-expressible. The query pins the
+    // UNSALTED regime (maxBandGroup high enough that no chunk group can
+    // salt at any testdata sf): the pigeonhole guarantee is exact only
+    // without salting, and an oracle must not depend on which salt cell a
+    // planted pair's ids hash into. Pairs at Hamming 1..maxHamming (and
+    // exclusion beyond) are gated by SimHashPairsSpec's brute-force
+    // equality; salted/stop-band behavior by CandidatePairsSpec.
     "simhash_planted" -> ((s, dir) => {
       val d = docs(s, dir)
       val base = d.select((col("doc_id") * 2).as("node_id"), col("text"))
@@ -143,7 +145,8 @@ object SparkEntry {
         .select((col("doc_id") * 2 + 1).as("node_id"), col("text"))
       val corpus = base.union(copies)
         .withColumn("n_bytes", length(col("text")).cast("long"))
-      Pipeline.simhashPairs(Pipeline.signatures(corpus, cfg), cfg)
+      val exactCfg = cfg.copy(maxBandGroup = Int.MaxValue / 2)
+      Pipeline.simhashPairs(Pipeline.signatures(corpus, exactCfg), exactCfg)
         .where(pmod(col("id_a"), lit(2)) === 0 && col("id_b") === col("id_a") + 1)
         .select(floor(col("id_a") / 2).cast("long").as("doc_id"))
         .orderBy("doc_id")

@@ -14,18 +14,7 @@ object StageProbe {
     val cpus = if (args.length > 0) args(0).toInt else 8
     val nUnits = if (args.length > 1) args(1).toLong else 40000L
     val tokensScale = if (args.length > 2) args(2).toInt else 1
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus.toString)
-      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64kb")
-      .config("spark.eventLog.enabled", sys.env.getOrElse("SPARK_GRAFT_EVENTLOG", "false"))
-      .config("spark.eventLog.dir", "/tmp/spark-events")
-      .config("spark.ui.enabled", "false")
-      .config("spark.driver.host", "localhost")
-      .config("spark.local.dir", "/dev/shm/graft-spark-tmp") // match Bench
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.util.LocalSession(cpus, s"graft-stage-probe-$cpus")
     val cfg = GraftConfig()
 
     def t[A](name: String)(f: => (A, Long)): A = {

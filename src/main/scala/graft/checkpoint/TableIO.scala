@@ -84,9 +84,12 @@ final class ParquetSnapshotIO(root: String, configHash: String) extends TableIO 
       Files.list(base).iterator().asScala
         .filter(d => Files.isDirectory(d) && d.getFileName.toString != configHash)
         .foreach { d =>
+          // Exception, not just IOException: lazy Files.walk iteration wraps
+          // fs errors in UncheckedIOException (a RuntimeException). A failed
+          // sweep is never fatal — the next run sweeps again.
           try Files.walk(d).sorted(java.util.Comparator.reverseOrder())
             .iterator().asScala.foreach(Files.delete)
-          catch { case _: java.io.IOException => () } // concurrent writer; next run sweeps
+          catch { case _: Exception => () }
         }
     }
     Some(base.resolve(configHash).toString)

@@ -180,8 +180,12 @@ object ConnectedComponents {
       Files.list(root).iterator().asScala
         .filter(d => d.getFileName.toString.startsWith("labels-iter") && d != p)
         .foreach { d =>
-          Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+          // GC failure must never abort a commit that already renamed its
+          // manifest (the iteration IS durable at this point); a dir that
+          // resists deletion is re-swept by the next commit.
+          try Files.walk(d).sorted(java.util.Comparator.reverseOrder())
             .iterator().asScala.foreach(Files.delete)
+          catch { case _: Exception => () }
         }
       labels.sparkSession.read.parquet(p.toString)
     }

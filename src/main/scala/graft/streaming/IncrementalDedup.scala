@@ -54,6 +54,7 @@ object IncrementalDedup {
     val members = s"$root/members"
     val edges = s"$root/edges"
     val clusters = s"$root/clusters"
+    val metrics = s"$root/metrics"
     val checkpoint = s"$root/_checkpoint"
     val versionFile = s"$root/_state_version.json"
   }
@@ -82,14 +83,49 @@ object IncrementalDedup {
       new String(Files.readAllBytes(Paths.get(dirs.versionFile)),
         java.nio.charset.StandardCharsets.UTF_8)).map(_.group(1).toInt)
 
-  private def writeVersion(dirs: StateDirs): Unit = {
+  private def writeVersion(dirs: StateDirs, tier: Boolean): Unit = {
     Files.createDirectories(Paths.get(dirs.root))
     val tmp = Paths.get(dirs.root, s".ver-tmp-${java.util.UUID.randomUUID()}")
-    Files.write(tmp, s"""{"version": $StateVersion}""".getBytes(
-      java.nio.charset.StandardCharsets.UTF_8))
+    Files.write(tmp,
+      s"""{"version": $StateVersion, "simhash_tier": ${if (tier) 1 else 0}}""".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
     Files.move(tmp, Paths.get(dirs.versionFile),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def tierEnabled(cfg: GraftConfig): Boolean =
+    cfg.simhashTier && cfg.maxHamming >= 0
+
+  private val TierField = """"simhash_tier"\s*:\s*(\d)""".r
+
+  /** Which key families the durable band index holds, as recorded in the
+    * version file; absent (pre-knob state) means MinHash-only. */
+  private def readTier(dirs: StateDirs): Option[Boolean] =
+    if (!exists(dirs.versionFile)) None
+    else TierField.findFirstMatchIn(
+      new String(Files.readAllBytes(Paths.get(dirs.versionFile)),
+        java.nio.charset.StandardCharsets.UTF_8)).map(_.group(1) == "1")
+
+  /** The durable band index holds the key families of whichever tiers were
+    * enabled when its rows were appended, so a `simhashTier` toggle on
+    * existing state must REBUILD it — otherwise pre-toggle docs silently
+    * lack chunk keys and the cross-batch Hamming recall the knob promises
+    * never materializes (and a toggle OFF would strand chunk keys forever).
+    * The rebuild is a deterministic projection of the signature state
+    * (band_hashes and simhash are both retained per node) — no text is
+    * recomputed — via the same crash-safe swap as every state rewrite. */
+  private def ensureBandIndexTier(spark: SparkSession, cfg: GraftConfig, dirs: StateDirs): Unit = {
+    val want = tierEnabled(cfg)
+    val have = readTier(dirs).getOrElse(false)
+    if (have != want) {
+      if (exists(dirs.signatures)) {
+        val tmp = s"${dirs.bandIndex}.tmp-${java.util.UUID.randomUUID()}"
+        Pipeline.bandKeys(spark.read.parquet(dirs.signatures), cfg).write.parquet(tmp)
+        swapDir(tmp, dirs.bandIndex)
+      }
+      writeVersion(dirs, want)
+    } else if (readTier(dirs).isEmpty) writeVersion(dirs, want) // stamp the field
   }
 
   /** Version gate + in-place migration, run once per batch (cheap: a file
@@ -103,7 +139,8 @@ object IncrementalDedup {
     // restored from its aside copy) before any state is read this batch.
     // Every dir that swapDir ever targets (cluster writes, migration,
     // compaction) is covered.
-    Seq(dirs.clusters, dirs.members, dirs.signatures, dirs.bandIndex, dirs.edges)
+    Seq(dirs.clusters, dirs.members, dirs.signatures, dirs.bandIndex, dirs.edges,
+      dirs.metrics)
       .foreach(recoverSwap)
     // An interrupted remap leaves tables keyed inconsistently: processing
     // batches against that state would bind new content to stale ids.
@@ -113,7 +150,8 @@ object IncrementalDedup {
         s"incremental state at ${dirs.root} has an in-progress node-id remap " +
           "(_remap_journal.json) - re-run remapNodeIds with the same mapping to completion first")
     readVersion(dirs) match {
-      case Some(StateVersion) => // current
+      case Some(StateVersion) => // current; key-family toggle still possible
+        ensureBandIndexTier(spark, cfg, dirs)
       case Some(v) if v > StateVersion =>
         throw new IllegalStateException(
           s"incremental state at ${dirs.root} has schema version $v, newer than " +
@@ -136,8 +174,11 @@ object IncrementalDedup {
             swapDir(tmp, dirs.members)
           }
           rebuildClusters(spark, cfg, dirs) // v<=2 clusters -> v3 shape
-        }
-        writeVersion(dirs)
+          // pre-knob states hold a MinHash-only band index: stamp that,
+          // then let the toggle path rebuild if this config wants more
+          writeVersion(dirs, tier = false)
+          ensureBandIndexTier(spark, cfg, dirs)
+        } else writeVersion(dirs, tierEnabled(cfg)) // fresh state
     }
   }
 
@@ -231,6 +272,12 @@ object IncrementalDedup {
     val b = allSigs.select(col("node_id").as("id_b"),
       col("minhash").as("mh_b"), col("simhash").as("sh_b"))
     val crossVerified = crossPairs.join(a, "id_a").join(b, "id_b")
+      // each using-join moves its key column FIRST, so the column order here
+      // is (id_b, id_a, ...) — select explicitly before the POSITIONAL tuple
+      // decode or every cross-batch edge is stored orientation-reversed,
+      // breaking the edges table's id_a < id_b invariant (regression-gated
+      // by the parity test's orientation assertion)
+      .select(col("id_a"), col("id_b"), col("mh_a"), col("sh_a"), col("mh_b"), col("sh_b"))
       .as[(Long, Long, Seq[Long], Long, Seq[Long], Long)]
       .flatMap { case (idA, idB, mhA, shA, mhB, shB) =>
         val est = graft.signatures.MinHasher.estimateJaccard(mhA.toArray, mhB.toArray)
@@ -251,7 +298,7 @@ object IncrementalDedup {
         newVerified.count(), crossVerified.count(), System.currentTimeMillis()))
         .toDF("batch_id", "candidates_new", "candidates_cross",
           "edges_exact_verified", "edges_est_only", "committed_ms"),
-      s"${dirs.root}/metrics")
+      dirs.metrics)
 
     // ---- recluster, bounded to AFFECTED components.
     // Closure argument: an old component's labels can change only through
@@ -568,7 +615,8 @@ object IncrementalDedup {
         import scala.jdk.CollectionConverters._
         Files.list(Paths.get(p)).iterator().asScala.count(Files.isRegularFile(_))
       }
-    val dirsToWatch = Seq(dirs.members, dirs.edges, dirs.bandIndex, dirs.signatures)
+    val dirsToWatch = Seq(dirs.members, dirs.edges, dirs.bandIndex, dirs.signatures,
+      dirs.metrics)
     if (!dirsToWatch.exists(fileCount(_) > threshold)) return false
 
     val live = spark.read.parquet(dirs.clusters)
@@ -591,6 +639,11 @@ object IncrementalDedup {
         .join(live.withColumnRenamed("node_id", "id_a"), Seq("id_a"), "left_semi")
         .join(live.withColumnRenamed("node_id", "id_b"), Seq("id_b"), "left_semi")
     }
+    // the per-batch metrics log keeps every row (it is the audit trail) but
+    // one tiny file is appended per batch — coalesce so a years-long stream
+    // does not accumulate unbounded file counts in the one dir the other
+    // rewrites don't touch
+    rewrite(dirs.metrics)(_.coalesce(1))
     true
   }
 

@@ -347,6 +347,14 @@ class IncrementalDedupSpec extends SparkSpec {
     // the metrics table makes the est-only trade auditable: cross-batch
     // edges (a3->a1/a2, b2->b1) were accepted on signature estimates, and
     // in-batch edges (a1-a2, c1-c2) got the exact ST3 pass
+    // the edges table's orientation invariant must hold for BOTH verify
+    // tiers (remap/compaction rely on it; a reversed cross-batch edge would
+    // double-store under re-discovery)
+    val edges = spark.read.parquet(dirs.edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty && edges.forall { case (a, b) => a < b },
+      s"edges orientation (id_a < id_b) violated: ${edges.filterNot(e => e._1 < e._2).mkString(",")}")
+
     val m = spark.read.parquet(s"$root/metrics")
     assert(m.columns.toSet == Set("batch_id", "candidates_new", "candidates_cross",
       "edges_exact_verified", "edges_est_only", "committed_ms"))
@@ -390,6 +398,29 @@ class IncrementalDedupSpec extends SparkSpec {
     val cl = spark.read.parquet(dirs.clusters).collect()
       .map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(cl("u://a") == cl("u://b"))
+  }
+
+  test("simhashTier toggle on existing state rebuilds the durable band index") {
+    val root = Files.createTempDirectory("graft-inc-sh2").toString
+    val dirs = StateDirs(root)
+    // built MinHash-only
+    IncrementalDedup.processBatch(df(Seq(page("u://a", baseText))), cfg, dirs, batchId = 1L)
+    assert(spark.read.parquet(dirs.bandIndex).count() == 32)
+    // toggle ON: the stored doc's index must gain chunk keys BEFORE the new
+    // batch probes it — otherwise pre-toggle docs never get the promised
+    // cross-batch Hamming recall
+    IncrementalDedup.processBatch(df(Seq(page("u://z", otherText))),
+      cfg.copy(simhashTier = true), dirs, batchId = 2L)
+    assert(spark.read.parquet(dirs.bandIndex).count() == 72) // 2 docs x 36
+    // toggle OFF: chunk keys are removed, not stranded forever
+    val gText = (1 to 60).map(i => s"gee$i").mkString(" ")
+    IncrementalDedup.processBatch(df(Seq(page("u://g", gText))), cfg, dirs, batchId = 3L)
+    assert(spark.read.parquet(dirs.bandIndex).count() == 96) // 3 docs x 32
+    // clustering state is untouched by the rebuilds
+    val cl = spark.read.parquet(dirs.clusters).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(cl.keySet == Set("u://a", "u://z", "u://g"))
+    assert(Set(cl("u://a"), cl("u://z"), cl("u://g")).size == 3)
   }
 
   test("v1 state migrates in place; future-versioned state is refused") {
