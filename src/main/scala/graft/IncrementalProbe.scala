@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.fixtures.PagesGen
+import graft.model.GraftConfig
+import graft.streaming.IncrementalDedup
+import graft.streaming.IncrementalDedup.StateDirs
+
+/** Diagnostic main: measures the incremental mode's central scale claim —
+  * per-batch wall stays O(batch + affected dup-graph) while durable state
+  * grows linearly with the stream — by feeding N synthetic batches into
+  * `IncrementalDedup.processBatch` against one state root and timing each.
+  *
+  * Batch composition (all deterministic, no external data):
+  *   - `unitsPerBatch` FRESH units (batch b covers the disjoint unit range
+  *     [(b-1)*U, b*U), so every batch brings genuinely new urls and content
+  *     with their own in-batch dup structure);
+  *   - plus `crossFrac` of the PREVIOUS batch's units re-published under
+  *     new urls (same text, url + "#rc<b>"), so every batch also exercises
+  *     the cross-batch path end-to-end: stored-band-index probing, the
+  *     signature-estimate verify tier, and edges into prior components.
+  *
+  * Per batch it prints wall seconds plus state row counts read AFTER the
+  * clock stops (reading state is not part of the claim being measured).
+  * If per-batch wall tracked total accumulated state, the line to watch
+  * would grow ~linearly in b; the O(batch) claim predicts a flat line with
+  * one spike when file-count compaction triggers.
+  *
+  * Usage: runMain graft.IncrementalProbe [cpus] [batches] [unitsPerBatch]
+  *                                       [root] [tokensScale] [crossFrac]
+  */
+object IncrementalProbe {
+
+  def main(args: Array[String]): Unit = {
+    val cpus = if (args.length > 0) args(0).toInt else 32
+    val batches = if (args.length > 1) args(1).toInt else 8
+    val unitsPerBatch = if (args.length > 2) args(2).toLong else 50000L
+    val root = if (args.length > 3) args(3) else "/dev/shm/graft-inc-probe"
+    val tokensScale = if (args.length > 4) args(4).toInt else 1
+    val crossFrac = if (args.length > 5) args(5).toDouble else 0.1
+
+    val spark = graft.util.LocalSession(cpus, s"graft-inc-probe-$cpus")
+    val cfg = GraftConfig()
+    val dirs = StateDirs(root)
+
+    def batchPages(b: Int) = {
+      val fresh = PagesGen.pages(spark,
+        PagesGen.Spec(nUnits = unitsPerBatch, tokensScale = tokensScale,
+          unitOffset = (b - 1).toLong * unitsPerBatch))
+      if (b == 1) fresh
+      else {
+        val republished = PagesGen.pages(spark,
+          PagesGen.Spec(nUnits = math.max(1L, (unitsPerBatch * crossFrac).toLong),
+            tokensScale = tokensScale,
+            unitOffset = (b - 2).toLong * unitsPerBatch))
+          .withColumn("url", concat(col("url"), lit(s"#rc$b")))
+        fresh.union(republished)
+      }
+    }
+
+    // warm-up: JIT + codegen caches on a throwaway state root, so batch 1's
+    // wall measures the engine, not classloading
+    IncrementalDedup.processBatch(
+      PagesGen.pages(spark, PagesGen.Spec(nUnits = 60, seed = 7L, tokensScale = tokensScale)),
+      cfg, StateDirs(root + "-warmup"), batchId = 1L)
+
+    val walls = (1 to batches).map { b =>
+      val pages = batchPages(b)
+      val docs = pages.count()
+      val t0 = System.nanoTime()
+      IncrementalDedup.processBatch(pages, cfg, dirs, batchId = b.toLong)
+      val sec = (System.nanoTime() - t0) / 1e9
+      // state census AFTER the clock: the claim is about batch work, and
+      // these full-state reads are exactly the O(state) scans processBatch
+      // is designed to avoid
+      val clusters = spark.read.parquet(dirs.clusters).count()
+      val edges = spark.read.parquet(dirs.edges).count()
+      val members = spark.read.parquet(dirs.members).count()
+      println(f"PROBE batch=$b%2d docs=$docs%7d wall=$sec%7.2fs " +
+        f"state: members=$members%8d edges=$edges%7d live_urls=$clusters%8d")
+      sec
+    }
+    val json = walls.map(s => f"$s%.2f").mkString("[", ",", "]")
+    println(s"""GRAFT_INC_PROBE {"cpus":$cpus,"batches":$batches,""" +
+      s""""units_per_batch":$unitsPerBatch,"cross_frac":$crossFrac,""" +
+      s""""batch_wall_secs":$json}""")
+    spark.stop()
+  }
+}

@@ -32,8 +32,13 @@ import graft.util.Hashing
 object PagesGen {
 
   /** tokensScale multiplies per-unit text length (benchmark knob: raises
-    * compute density without changing planted-truth semantics; tests use 1). */
-  final case class Spec(nUnits: Long, seed: Long = 42L, tokensScale: Int = 1)
+    * compute density without changing planted-truth semantics; tests use 1).
+    * unitOffset shifts the generated unit-id range to [unitOffset,
+    * unitOffset + nUnits): units are independent, so an offset range is a
+    * DISJOINT corpus (new urls, new content) — how IncrementalProbe builds
+    * a stream of genuinely fresh batches. */
+  final case class Spec(nUnits: Long, seed: Long = 42L, tokensScale: Int = 1,
+      unitOffset: Long = 0L)
 
   final case class GenPage(
       unit: Long, url: String, warc_ts: Timestamp, html: Array[Byte],
@@ -221,7 +226,7 @@ object PagesGen {
     import spark.implicits._
     val seed = spec.seed
     val scale = spec.tokensScale
-    spark.range(0L, spec.nUnits)
+    spark.range(spec.unitOffset, spec.unitOffset + spec.nUnits)
       .flatMap(i => genUnit(i, seed, scale))
       .select($"url", $"warc_ts", $"html", $"text", $"lang")
   }
