@@ -125,6 +125,27 @@ object SparkEntry {
         .orderBy("cluster_key", "url")
     }),
 
+    // ---- the FULL flat report hash-checked (same maxHamming=-1 regime as
+    // pipeline_membership, so the pass rule is pure shingle-Jaccard and
+    // DuckDB can recompute it): every report column — exact_hash (md5),
+    // the A7 canonical keeper (largest exact subgroup, tie-broken by
+    // smallest url), n_members, n_exact_subgroups, and A5 redundant_bytes
+    // (sum(bytes) - max(bytes) per cluster) — keyed by min(url) because
+    // cluster_id is an internal xxhash64. Twin-checks pipeline_clusters'
+    // ST4/ST5 aggregation logic column by column.
+    "pipeline_report" -> ((s, dir) => {
+      val r = Pipeline.run(s, PagesGen.fromDocuments(s, dir), cfg.copy(maxHamming = -1))
+      val key = r.clusters.groupBy("cluster_id").agg(min(col("url")).as("cluster_key"))
+      r.clusters.join(key, "cluster_id")
+        .select(col("cluster_key"), col("url"),
+          lower(hex(col("exact_hash"))).as("h"),
+          col("canonical").cast("int").as("is_canonical"),
+          col("n_members"),
+          col("n_exact_subgroups").cast("int").as("n_exact_subgroups"),
+          col("redundant_bytes"))
+        .orderBy("cluster_key", "url")
+    }),
+
     // ---- standalone SimHash tier (pigeonhole chunk banding), hash-checked
     // against planted structure: the corpus is every document (node 2d)
     // plus, for doc_id % 7 == 3, an identical copy (node 2d+1). Identical
@@ -244,6 +265,34 @@ object SparkEntry {
       docs(s, dir)
         .select(col("doc_id"), graft.functions.TextFunctions.fingerprint64(col("text")).as("fp64"))
         .orderBy("doc_id")),
+
+    // ---- winnowing SELECTION hash-checked: the same k=8/w=16 min-per-
+    // window selection algorithm over md5-based gram hashes (the one hash
+    // both engines share), builtin higher-order functions only — so the
+    // winnowing logic itself gets a DuckDB oracle on real document texts,
+    // twinning the rolling-hash fast path above.
+    "winnow_grams" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          explode(TextAnalysis.sqlWinnowSelect(col("text"))).as("fp"))
+        .orderBy("doc_id", "fp")),
+
+    // ---- exact n-gram Jaccard on the planted near-dup pairs (the ST3
+    // verify metric as literal string shingles, hash-checked end to end:
+    // tokens -> distinct 5-shingles -> |intersect|/|union| quantized e4)
+    "jaccard_pairs" -> ((s, dir) => {
+      val near = docs(s, dir).where(pmod(col("doc_id"), lit(10)) === 2)
+      near.select(col("doc_id"),
+          TextAnalysis.shingleSet(col("text")).as("sa"),
+          TextAnalysis.shingleSet(concat(col("text"),
+            lit(" zqnear"), col("doc_id").cast("string"), lit("x"))).as("sb"))
+        .select(col("doc_id"),
+          size(col("sa")).cast("long").as("n_orig"),
+          size(col("sb")).cast("long").as("n_near"),
+          size(array_intersect(col("sa"), col("sb"))).cast("long").as("n_common"),
+          TextAnalysis.jaccardE4(col("sa"), col("sb")).as("sim_e4"))
+        .orderBy("doc_id")
+    }),
 
     // ================ multimodal binary-column plumbing ==================
 
@@ -390,6 +439,44 @@ object SparkEntry {
       |  UNION ALL SELECT doc_id, text FROM documents WHERE doc_id % 10 IN (0,1)
       |  UNION ALL SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
       |  UNION ALL SELECT doc_id, text || ' zqnear' || CAST(doc_id AS VARCHAR) || 'x' FROM documents WHERE doc_id % 10 = 2
+      |)""".stripMargin
+
+  /** Shared near-dup transitive-closure CTE chain (pages expansion ->
+    * length filter -> distinct-text 5-shingle sets -> exact-Jaccard >= 0.8
+    * edges -> recursive reachability -> min-text cluster labels -> member
+    * rows `m(url, text, root_text)`): the DuckDB re-derivation of the
+    * pipeline's maxHamming=-1 semantics, extended per query below. */
+  private val neardupClosureCte: String =
+    """WITH RECURSIVE pages AS (
+      |  SELECT 'https://host' || CAST(doc_id % 97 AS VARCHAR) || '.example/d/' || CAST(doc_id AS VARCHAR) || '/0' AS url, text FROM documents
+      |  UNION ALL SELECT 'https://host' || CAST(doc_id % 97 AS VARCHAR) || '.example/d/' || CAST(doc_id AS VARCHAR) || '/1', text FROM documents WHERE doc_id % 10 IN (0,1)
+      |  UNION ALL SELECT 'https://host' || CAST(doc_id % 97 AS VARCHAR) || '.example/d/' || CAST(doc_id AS VARCHAR) || '/2', text FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL SELECT 'https://host' || CAST(doc_id % 97 AS VARCHAR) || '.example/d/' || CAST(doc_id AS VARCHAR) || '/3', text || ' zqnear' || CAST(doc_id AS VARCHAR) || 'x' FROM documents WHERE doc_id % 10 = 2
+      |), flt AS (
+      |  SELECT url, text FROM pages WHERE length(text) BETWEEN 8 AND 100000000
+      |), sh AS (
+      |  SELECT text, (
+      |    WITH t AS (SELECT list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks)
+      |    SELECT list_distinct([array_to_string(toks[i:i+4], ' ') for i in generate_series(1, greatest(len(toks)-4, 1))]) FROM t
+      |  ) AS shingles
+      |  FROM (SELECT DISTINCT text FROM flt)
+      |), e AS (
+      |  SELECT a.text AS ta, b.text AS tb
+      |  FROM sh a JOIN sh b ON a.text < b.text
+      |  WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+      |        / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.8
+      |), sym AS (
+      |  SELECT ta AS a, tb AS b FROM e
+      |  UNION SELECT tb, ta FROM e
+      |  UNION SELECT text, text FROM sh
+      |), reach(a, b) AS (
+      |  SELECT a, b FROM sym
+      |  UNION
+      |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+      |), lbl AS (
+      |  SELECT a AS text, min(b) AS root_text FROM reach GROUP BY a
+      |), m AS (
+      |  SELECT f.url, f.text, l.root_text FROM flt f JOIN lbl l ON f.text = l.text
       |)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
@@ -585,37 +672,7 @@ object SparkEntry {
       """SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
         |WHERE doc_id % 7 = 3 ORDER BY doc_id""".stripMargin,
     "pipeline_membership" ->
-      """WITH RECURSIVE pages AS (
-        |  SELECT 'https://host' || CAST(doc_id % 97 AS VARCHAR) || '.example/d/' || CAST(doc_id AS VARCHAR) || '/0' AS url, text FROM documents
-        |  UNION ALL SELECT 'https://host' || CAST(doc_id % 97 AS VARCHAR) || '.example/d/' || CAST(doc_id AS VARCHAR) || '/1', text FROM documents WHERE doc_id % 10 IN (0,1)
-        |  UNION ALL SELECT 'https://host' || CAST(doc_id % 97 AS VARCHAR) || '.example/d/' || CAST(doc_id AS VARCHAR) || '/2', text FROM documents WHERE doc_id % 10 = 0
-        |  UNION ALL SELECT 'https://host' || CAST(doc_id % 97 AS VARCHAR) || '.example/d/' || CAST(doc_id AS VARCHAR) || '/3', text || ' zqnear' || CAST(doc_id AS VARCHAR) || 'x' FROM documents WHERE doc_id % 10 = 2
-        |), flt AS (
-        |  SELECT url, text FROM pages WHERE length(text) BETWEEN 8 AND 100000000
-        |), sh AS (
-        |  SELECT text, (
-        |    WITH t AS (SELECT list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks)
-        |    SELECT list_distinct([array_to_string(toks[i:i+4], ' ') for i in generate_series(1, greatest(len(toks)-4, 1))]) FROM t
-        |  ) AS shingles
-        |  FROM (SELECT DISTINCT text FROM flt)
-        |), e AS (
-        |  SELECT a.text AS ta, b.text AS tb
-        |  FROM sh a JOIN sh b ON a.text < b.text
-        |  WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
-        |        / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.8
-        |), sym AS (
-        |  SELECT ta AS a, tb AS b FROM e
-        |  UNION SELECT tb, ta FROM e
-        |  UNION SELECT text, text FROM sh
-        |), reach(a, b) AS (
-        |  SELECT a, b FROM sym
-        |  UNION
-        |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
-        |), lbl AS (
-        |  SELECT a AS text, min(b) AS root_text FROM reach GROUP BY a
-        |), m AS (
-        |  SELECT f.url, f.text, l.root_text FROM flt f JOIN lbl l ON f.text = l.text
-        |), cs AS (
+      s"""$neardupClosureCte, cs AS (
         |  SELECT root_text, min(url) AS cluster_key,
         |         count(*) AS n_members, count(DISTINCT text) AS n_sub
         |  FROM m GROUP BY root_text HAVING count(*) >= 2
@@ -625,6 +682,67 @@ object SparkEntry {
         |       CAST(cs.n_sub AS INT) AS n_exact_subgroups
         |FROM m JOIN cs ON m.root_text = cs.root_text
         |ORDER BY cluster_key, url""".stripMargin,
+    "pipeline_report" ->
+      s"""$neardupClosureCte, node AS (
+        |  SELECT root_text, text, count(*) AS sub_size, min(url) AS sub_min_url
+        |  FROM m GROUP BY root_text, text
+        |), canon AS (
+        |  SELECT root_text, sub_min_url AS canonical_url FROM (
+        |    SELECT root_text, sub_min_url,
+        |           row_number() OVER (PARTITION BY root_text ORDER BY sub_size DESC, sub_min_url) AS rn
+        |    FROM node) WHERE rn = 1
+        |), cl AS (
+        |  SELECT root_text, min(url) AS cluster_key,
+        |         count(*) AS n_members, count(DISTINCT text) AS n_sub,
+        |         CAST(sum(strlen(text)) - max(strlen(text)) AS BIGINT) AS redundant_bytes
+        |  FROM m GROUP BY root_text HAVING count(*) >= 2
+        |)
+        |SELECT cl.cluster_key, m.url, md5(m.text) AS h,
+        |       CAST(CASE WHEN m.url = canon.canonical_url THEN 1 ELSE 0 END AS INT) AS is_canonical,
+        |       CAST(cl.n_members AS BIGINT) AS n_members,
+        |       CAST(cl.n_sub AS INT) AS n_exact_subgroups,
+        |       cl.redundant_bytes
+        |FROM m JOIN cl ON m.root_text = cl.root_text
+        |       JOIN canon ON m.root_text = canon.root_text
+        |ORDER BY cluster_key, url""".stripMargin,
+    "winnow_grams" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(text) < 8
+        |      THEN [CAST(('0x' || substr(md5(text),1,15)) AS BIGINT)]
+        |      ELSE [CAST(('0x' || substr(md5(substr(text, i, 8)),1,15)) AS BIGINT)
+        |            for i in generate_series(1, length(text)-7)]
+        |    END AS hs
+        |  FROM documents
+        |), w AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(hs) <= 16 THEN [list_min(hs)]
+        |      ELSE [list_min(hs[j+1:j+16]) for j in generate_series(0, len(hs)-16)]
+        |    END AS sel
+        |  FROM g
+        |)
+        |SELECT doc_id, unnest(list_sort(list_distinct(sel))) AS fp
+        |FROM w ORDER BY doc_id, fp""".stripMargin,
+    "jaccard_pairs" ->
+      """WITH p AS (
+        |  SELECT doc_id, text AS ta,
+        |         text || ' zqnear' || CAST(doc_id AS VARCHAR) || 'x' AS tb
+        |  FROM documents WHERE doc_id % 10 = 2
+        |), sh AS (
+        |  SELECT doc_id,
+        |    (WITH t AS (SELECT list_filter(string_split_regex(ta, '\s+'), x -> x <> '') AS toks)
+        |     SELECT list_distinct([array_to_string(toks[i:i+4], ' ') for i in generate_series(1, greatest(len(toks)-4, 1))]) FROM t) AS sa,
+        |    (WITH t AS (SELECT list_filter(string_split_regex(tb, '\s+'), x -> x <> '') AS toks)
+        |     SELECT list_distinct([array_to_string(toks[i:i+4], ' ') for i in generate_series(1, greatest(len(toks)-4, 1))]) FROM t) AS sb
+        |  FROM p
+        |)
+        |SELECT doc_id,
+        |  CAST(len(sa) AS BIGINT) AS n_orig,
+        |  CAST(len(sb) AS BIGINT) AS n_near,
+        |  CAST(len(list_intersect(sa, sb)) AS BIGINT) AS n_common,
+        |  CAST((10000 * len(list_intersect(sa, sb)))
+        |       // (len(sa) + len(sb) - len(list_intersect(sa, sb))) AS BIGINT) AS sim_e4
+        |FROM sh ORDER BY doc_id""".stripMargin,
     "canonical_pick" ->
       s"""WITH pages AS (
          |  SELECT 'https://host' || CAST(doc_id % 97 AS VARCHAR) || '.example/d/' || CAST(doc_id AS VARCHAR) || '/0' AS url, text FROM documents

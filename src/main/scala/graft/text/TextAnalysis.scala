@@ -91,6 +91,53 @@ object TextAnalysis {
     )
   }
 
+  /** Winnowing selection (Schleimer et al. 2003) re-expressed entirely in
+    * builtin higher-order functions so the SAME algorithm is
+    * ANSI-SQL-expressible and the selection logic itself can be
+    * hash-checked against a DuckDB oracle (the codegen'd rolling-hash
+    * kernel in [[graft.text.Fingerprint]] / `winnow_fp` keeps the
+    * production fast path; this is its oracle-checkable twin).
+    *
+    * Gram hash = first 15 hex chars of md5(k-gram) as a 60-bit long (md5 is
+    * the one hash both engines compute identically); selection = min of
+    * each w-window of consecutive gram hashes, distinct, sorted — the same
+    * position-independent fingerprint set semantics as
+    * [[Fingerprint.winnow]] (ties collapse by value, so the
+    * rightmost-vs-leftmost min rule cannot change the selected SET).
+    * Texts shorter than k hash whole; gram counts <= w select one min. */
+  def sqlWinnowSelect(text: Column,
+      k: Int = Fingerprint.DefaultK, w: Int = Fingerprint.DefaultW): Column = {
+    def gramHash(g: Column): Column =
+      conv(substring(md5(g), 1, 15), 16, 10).cast("long")
+    val hs = when(length(text) < k, array(gramHash(text)))
+      .otherwise(transform(sequence(lit(1), length(text) - lit(k - 1)),
+        i => gramHash(text.substr(i, lit(k)))))
+    val sel = when(size(hs) <= w, array(array_min(hs)))
+      .otherwise(transform(sequence(lit(0), size(hs) - lit(w)),
+        j => array_min(slice(hs, j + lit(1), lit(w)))))
+    array_sort(array_distinct(sel))
+  }
+
+  /** Distinct k-token shingle set (the ST3 verify metric's shingles as
+    * literal strings instead of hashes): builtin functions only, so exact
+    * n-gram Jaccard is computable in-plan AND mirrored by an ANSI oracle
+    * (DuckDB list_intersect), with no hash-collision caveat. */
+  def shingleSet(text: Column, k: Int = 5): Column = {
+    val toks = filter(split(text, "\\s+"), t => t =!= "")
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(toks) - lit(k - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(k)))))
+  }
+
+  /** Exact n-gram Jaccard between two shingle-set columns, quantized to
+    * 1e4 (integer floor => oracle-safe; the double detour is exact at
+    * these magnitudes). */
+  def jaccardE4(sa: Column, sb: Column): Column = {
+    val inter = size(array_intersect(sa, sb)).cast("long")
+    val union = size(sa).cast("long") + size(sb).cast("long") - inter
+    when(union > 0, idiv(inter * 10000L, union)).otherwise(10000L)
+  }
+
   /** Composite quality gate: enough text, mostly alphabetic, has stopwords,
     * sane token lengths. Integer thresholds => oracle-safe. */
   def qualityPass(text: Column,

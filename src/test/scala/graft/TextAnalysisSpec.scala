@@ -82,6 +82,77 @@ class TextAnalysisSpec extends SparkSpec {
     assert(short.length == 1)
   }
 
+  test("sqlWinnowSelect: shared-substring guarantee and selection shape") {
+    // Winnowing guarantee on the SQL-expressible twin: any shared substring
+    // of length >= k + w - 1 (= 23) forces a shared selected hash, while
+    // gram-disjoint texts share nothing (md5 gram hashes collide w.p. 2^-60).
+    val shared = "GUARANTEED-SHARED-BLOCK-0123456789abcdef" // 40 chars
+    val t1 = s"alpha bravo charlie delta $shared echo foxtrot"
+    val t2 = s"zulu yankee $shared xray whiskey victor uniform"
+    val t3 = "completely different text with no overlap at all here"
+    val rows = Seq(("a", t1), ("b", t2), ("c", t3)).toDF("id", "text")
+      .select(col("id"), TextAnalysis.sqlWinnowSelect(col("text")).as("sel"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(rows("a").intersect(rows("b")).nonEmpty, "guarantee violated")
+    assert(rows("a").intersect(rows("c")).isEmpty)
+    assert(rows("b").intersect(rows("c")).isEmpty)
+    // sorted-distinct shape, and the short-text path selects exactly one
+    val sel = Seq(("s", "tiny")).toDF("id", "text")
+      .select(TextAnalysis.sqlWinnowSelect(col("text"))).head().getSeq[Long](0)
+    assert(sel.length == 1)
+    val a = rows("a").toSeq.sorted
+    assert(a == a.distinct.sorted)
+  }
+
+  test("sqlWinnowSelect matches an independent reference model on random text") {
+    // Straight-line reference model of the md5-gram winnowing semantics
+    // (k=8, w=16): gram hash = first 15 hex chars of md5 as a long;
+    // selection = distinct sorted minima of each 16-window.
+    def refModel(s: String, k: Int = 8, w: Int = 16): Seq[Long] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def h(g: String): Long = {
+        val hex = md.digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex.take(15), 16)
+      }
+      val hs =
+        if (s.length < k) Array(h(s))
+        else (0 to s.length - k).map(i => h(s.substring(i, i + k))).toArray
+      val sel =
+        if (hs.length <= w) Seq(hs.min)
+        else (0 to hs.length - w).map(j => hs.slice(j, j + w).min)
+      sel.distinct.sorted
+    }
+    val rnd = new scala.util.Random(42)
+    val alphabet = "ab cd"
+    val texts = (1 to 24).map { i =>
+      val n = 1 + rnd.nextInt(120)
+      (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    } :+ "tiny" :+ "exactly8" :+ ("x" * 23)
+    val got = texts.zipWithIndex.map { case (t, i) => (i, t) }
+      .toDF("i", "text")
+      .select(col("i"), TextAnalysis.sqlWinnowSelect(col("text")).as("sel"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i) == refModel(t), s"mismatch on text #$i '${t.take(20)}…'")
+    }
+  }
+
+  test("shingleSet + jaccardE4: exact n-gram Jaccard, integer-quantized") {
+    def j(a: String, b: String): Long =
+      Seq((a, b)).toDF("a", "b")
+        .select(TextAnalysis.jaccardE4(
+          TextAnalysis.shingleSet(col("a")), TextAnalysis.shingleSet(col("b"))))
+        .head().getLong(0)
+    assert(j("a b c d e f", "a b c d e f") == 10000L)
+    assert(j("a b c d e f", "q r s t u v") == 0L)
+    // 7 tokens -> 3 shingles; appending one token adds one shingle:
+    // |A|=3, |B|=4, |A∩B|=3 -> 3/4 = 7500
+    assert(j("a b c d e f g", "a b c d e f g h") == 7500L)
+    // fewer than k tokens: single whole-text shingle
+    assert(j("a b", "a b") == 10000L)
+    assert(j("a b", "a c") == 0L)
+  }
+
   test("fingerprint expression matches the kernel") {
     import graft.functions.TextFunctions._
     val texts = Seq("the quick brown fox jumps over the lazy dog",
