@@ -40,4 +40,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
   s"-XX:+Use${sys.env.getOrElse("SPARK_GC", "G1")}GC",
+) ++ (
+  // Diagnostics opt-in (SPARK_PRETOUCH=1): commit + pre-touch the whole heap
+  // at JVM startup. Probes this VM's first-touch page-fault cost, the prime
+  // suspect for the observed rep1-vs-steady 10-30x gap on memory-hungry
+  // queries (ivf_top1 rep1 180 s vs reps2+ 5-6 s). NOT a default: on this
+  // host pre-touching 48g itself runs minutes (same slow-zeroing pathology),
+  // so it trades a slow first rep for a slow startup.
+  if (sys.env.get("SPARK_PRETOUCH").contains("1"))
+    Seq(s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}", "-XX:+AlwaysPreTouch")
+  else Seq.empty
 ) ++ sys.env.get("SPARK_GC_LOG").map(f => s"-Xlog:gc:$f").toSeq

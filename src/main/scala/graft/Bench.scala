@@ -125,7 +125,11 @@ object Bench {
     val heavyThreshold = sys.env.getOrElse("SPARK_GRAFT_HEAVY_THRESHOLD", "1.5").toDouble
     val spark = session(cpus)
     val failed = scala.collection.mutable.ArrayBuffer[String]()
+    // Optional anchored-regex name filter for isolating individual queries
+    // (diagnostics only; the driver runs with no filter).
+    val queryFilter = sys.env.get("SPARK_GRAFT_QUERY_FILTER").map(_.r)
     val names = (if (doQueries) SparkEntry.queries.toSeq.sortBy(_._1) else Nil)
+      .filter { case (n, _) => queryFilter.forall(_.matches(n)) }
     val qBest = scala.collection.mutable.LinkedHashMap[String, Double]()
     val qReps = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
     def runQuery(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame, rep: Int): Unit = {

@@ -112,9 +112,15 @@ object TextAnalysis {
     val hs = when(length(text) < k, array(gramHash(text)))
       .otherwise(transform(sequence(lit(1), length(text) - lit(k - 1)),
         i => gramHash(text.substr(i, lit(k)))))
-    val sel = when(size(hs) <= w, array(array_min(hs)))
-      .otherwise(transform(sequence(lit(0), size(hs) - lit(w)),
-        j => array_min(slice(hs, j + lit(1), lit(w)))))
+    // Let-binding via a 1-element outer transform: `hs` is evaluated ONCE
+    // per row and bound to the lambda variable `h`. Inlining `hs` directly
+    // into the window loop would re-evaluate the whole gram-hash array
+    // inside every window's `slice` — O(grams^2) md5 calls per row
+    // (measured: 20+ CPU-minutes on one sf0.1 partition vs seconds here).
+    val sel = flatten(transform(array(hs), h =>
+      when(size(h) <= w, array(array_min(h)))
+        .otherwise(transform(sequence(lit(0), size(h) - lit(w)),
+          j => array_min(slice(h, j + lit(1), lit(w)))))))
     array_sort(array_distinct(sel))
   }
 
@@ -124,9 +130,12 @@ object TextAnalysis {
     * (DuckDB list_intersect), with no hash-collision caveat. */
   def shingleSet(text: Column, k: Int = 5): Column = {
     val toks = filter(split(text, "\\s+"), t => t =!= "")
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(toks) - lit(k - 1), lit(1))),
-      i => concat_ws(" ", slice(toks, i, lit(k)))))
+    // Same let-binding trick as sqlWinnowSelect: bind the token array once
+    // instead of re-splitting the text inside every shingle's `slice`.
+    flatten(transform(array(toks), t =>
+      array_distinct(transform(
+        sequence(lit(1), greatest(size(t) - lit(k - 1), lit(1))),
+        i => concat_ws(" ", slice(t, i, lit(k)))))))
   }
 
   /** Exact n-gram Jaccard between two shingle-set columns, quantized to
