@@ -29,6 +29,7 @@ import graft.streaming.IncrementalDedup.StateDirs
   *
   * Usage: runMain graft.IncrementalProbe [cpus] [batches] [unitsPerBatch]
   *                                       [root] [tokensScale] [crossFrac]
+  *                                       [retainTexts 0|1]
   */
 object IncrementalProbe {
 
@@ -39,9 +40,10 @@ object IncrementalProbe {
     val root = if (args.length > 3) args(3) else "/dev/shm/graft-inc-probe"
     val tokensScale = if (args.length > 4) args(4).toInt else 1
     val crossFrac = if (args.length > 5) args(5).toDouble else 0.1
+    val retainTexts = args.length > 6 && args(6) == "1"
 
     val spark = graft.util.LocalSession(cpus, s"graft-inc-probe-$cpus")
-    val cfg = GraftConfig()
+    val cfg = GraftConfig(incRetainTexts = retainTexts)
     val dirs = StateDirs(root)
 
     def batchPages(b: Int) = {
@@ -77,14 +79,30 @@ object IncrementalProbe {
       val clusters = spark.read.parquet(dirs.clusters).count()
       val edges = spark.read.parquet(dirs.edges).count()
       val members = spark.read.parquet(dirs.members).count()
+      val estOnly = spark.read.parquet(dirs.metrics)
+        .agg(sum(col("edges_est_only"))).head().getLong(0)
       println(f"PROBE batch=$b%2d docs=$docs%7d wall=$sec%7.2fs " +
-        f"state: members=$members%8d edges=$edges%7d live_urls=$clusters%8d")
+        f"state: members=$members%8d edges=$edges%7d live_urls=$clusters%8d " +
+        f"est_only=$estOnly%6d")
       sec
     }
+    // state-size cost of the retain-texts trade, measured on disk
+    def dirBytes(p: String): Long = {
+      val d = java.nio.file.Paths.get(p)
+      if (!java.nio.file.Files.exists(d)) 0L
+      else {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(d).iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_)).map(java.nio.file.Files.size).sum
+      }
+    }
+    val sigBytes = dirBytes(dirs.signatures)
+    val textBytes = dirBytes(dirs.texts)
     val json = walls.map(s => f"$s%.2f").mkString("[", ",", "]")
     println(s"""GRAFT_INC_PROBE {"cpus":$cpus,"batches":$batches,""" +
       s""""units_per_batch":$unitsPerBatch,"cross_frac":$crossFrac,""" +
-      s""""batch_wall_secs":$json}""")
+      s""""retain_texts":$retainTexts,"signatures_bytes":$sigBytes,""" +
+      s""""texts_bytes":$textBytes,"batch_wall_secs":$json}""")
     spark.stop()
   }
 }

@@ -313,6 +313,28 @@ object SparkEntry {
         .groupBy("host").agg(count(lit(1)).as("cnt"))
         .orderBy("host")),
 
+    // ---- canonical-url dedup tier (the web analogue of the reference's
+    //      path canonicalization, process_matches.rs:116-124): four spelled
+    //      variants per group — case, default port, www, index.html,
+    //      trailing slash, tracking params, param order, fragment — must
+    //      collapse to ONE canonical url. Pure narrow map + hash groupBy:
+    //      the cheapest dedup tier at 100 TB (no content ever read).
+    "url_canon_groups" -> ((s, dir) => {
+      val g = col("doc_id") - pmod(col("doc_id"), lit(4))
+      val h = pmod(g, lit(97)).cast("string")
+      val gs = g.cast("string")
+      val v = pmod(col("doc_id"), lit(4))
+      val raw = when(v === 0, concat(lit("https://host"), h, lit(".example/d/"), gs, lit("/0?b=2&a=1")))
+        .when(v === 1, concat(lit("HTTPS://HOST"), h, lit(".EXAMPLE:443/d/"), gs, lit("/0?utm_source=feed&b=2&a=1#frag")))
+        .when(v === 2, concat(lit("https://www.host"), h, lit(".example/d/"), gs, lit("/0/index.html?a=1&b=2&gclid=zz")))
+        .otherwise(concat(lit("https://host"), h, lit(".example:443/d/"), gs, lit("/0/?b=2&utm_campaign=x&a=1")))
+      docs(s, dir)
+        .select(raw.as("raw_url"))
+        .groupBy(graft.web.UrlCanon.canonicalUrl(col("raw_url")).as("canon"))
+        .agg(count(lit(1)).as("n_variants"), countDistinct(col("raw_url")).as("n_raw"))
+        .orderBy("canon")
+    }),
+
     // ============ relational coverage (TPC-H-ish shared tables) ==========
     // Money is compared as exact integer cents: per-element
     // round(x * 100) is identical double math in Spark and DuckDB, and the
@@ -588,6 +610,19 @@ object SparkEntry {
       """SELECT regexp_extract(url, '^https://([^/]+)/', 1) AS host, count(*) AS cnt
         |FROM (SELECT 'https://host' || CAST(doc_id % 97 AS VARCHAR) || '.example/d/' || CAST(doc_id AS VARCHAR) || '/0' AS url FROM documents)
         |GROUP BY 1 ORDER BY host""".stripMargin,
+    "url_canon_groups" -> {
+      val variants =
+        """SELECT CASE doc_id % 4
+          |  WHEN 0 THEN 'https://host' || CAST((doc_id - doc_id % 4) % 97 AS VARCHAR) || '.example/d/' || CAST(doc_id - doc_id % 4 AS VARCHAR) || '/0?b=2&a=1'
+          |  WHEN 1 THEN 'HTTPS://HOST' || CAST((doc_id - doc_id % 4) % 97 AS VARCHAR) || '.EXAMPLE:443/d/' || CAST(doc_id - doc_id % 4 AS VARCHAR) || '/0?utm_source=feed&b=2&a=1#frag'
+          |  WHEN 2 THEN 'https://www.host' || CAST((doc_id - doc_id % 4) % 97 AS VARCHAR) || '.example/d/' || CAST(doc_id - doc_id % 4 AS VARCHAR) || '/0/index.html?a=1&b=2&gclid=zz'
+          |  ELSE 'https://host' || CAST((doc_id - doc_id % 4) % 97 AS VARCHAR) || '.example:443/d/' || CAST(doc_id - doc_id % 4 AS VARCHAR) || '/0/?b=2&utm_campaign=x&a=1'
+          |END AS raw_url FROM documents""".stripMargin
+      s"""SELECT ${graft.web.UrlCanon.oracleSqlExpr("raw_url")} AS canon,
+         |  count(*) AS n_variants, count(DISTINCT raw_url) AS n_raw
+         |FROM ($variants)
+         |GROUP BY 1 ORDER BY canon""".stripMargin
+    },
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,

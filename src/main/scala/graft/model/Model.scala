@@ -81,7 +81,20 @@ final case class GraftConfig(
       * from the page text if the content ever resurrects). Bounds both
       * per-batch scan cost and state size on a years-long stream.
       * 0 disables compaction. */
-    incCompactFileThreshold: Int = 64
+    incCompactFileThreshold: Int = 64,
+    /** Incremental mode: retain each distinct content's TEXT in durable
+      * state so cross-batch candidate pairs get the FULL batch ST3 verify
+      * (exact shingle Jaccard AND SimHash Hamming AND LCS) instead of the
+      * signature-estimate gates — batch/incremental cluster parity at the
+      * cost of state growing with live corpus text bytes (vs signatures
+      * only). Pairs whose stored text is missing (state predating the
+      * toggle, or GC'd then resurrected mid-stream) fall back to the est
+      * gates and are counted in the batch metrics row's edges_est_only.
+      * Texts are keyed by node_id = content hash, so a retained text can
+      * be missing or orphaned but never stale. Off by default: at 100 TB
+      * the signature-only state is ~100x smaller, and the measured est-gate
+      * divergence on web corpora is small (IncrementalDedupSpec parity). */
+    incRetainTexts: Boolean = false
 ) {
   require(numPerm % bands == 0, s"numPerm=$numPerm must be divisible by bands=$bands")
   def rowsPerBand: Int = numPerm / bands

@@ -52,6 +52,10 @@ object IncrementalDedup {
     val signatures = s"$root/signatures"
     val bandIndex = s"$root/band_index"
     val members = s"$root/members"
+    /** Optional (cfg.incRetainTexts): (node_id, text) per distinct content,
+      * enabling full ST3 verify on cross-batch pairs. node_id is the
+      * content hash, so rows can be missing/orphaned but never stale. */
+    val texts = s"$root/texts"
     val edges = s"$root/edges"
     val clusters = s"$root/clusters"
     val metrics = s"$root/metrics"
@@ -140,7 +144,7 @@ object IncrementalDedup {
     // Every dir that swapDir ever targets (cluster writes, migration,
     // compaction) is covered.
     Seq(dirs.clusters, dirs.members, dirs.signatures, dirs.bandIndex, dirs.edges,
-      dirs.metrics)
+      dirs.metrics, dirs.texts)
       .foreach(recoverSwap)
     // An interrupted remap leaves tables keyed inconsistently: processing
     // batches against that state would bind new content to stale ids.
@@ -248,19 +252,48 @@ object IncrementalDedup {
     //  - new-vs-new pairs have BOTH texts in this batch, so they get the
     //    full batch ST3 pass rule (exact shingle Jaccard, SimHash Hamming,
     //    suffix-automaton LCS) — identical semantics to Pipeline.run;
-    //  - cross-batch pairs (stored texts are not retained) pass on
-    //    signature-level gates only: MinHash-estimated Jaccard over the
-    //    128-perm signatures OR SimHash Hamming. Threshold on the estimate
-    //    is cfg.minJaccard minus 2 sigma (sigma = sqrt(J(1-J)/numPerm)) so
-    //    planted true pairs still pass. This tier is strictly MORE
-    //    permissive than batch ST3 (no exact-J, no LCS gate, OR of the
-    //    gates); every edge it accepts is counted as est_only in the batch
-    //    metrics row so the divergence is measurable, and
-    //    IncrementalDedupSpec's parity test gates cluster agreement with
-    //    the batch pipeline on a planted corpus.
+    //  - cross-batch pairs: with cfg.incRetainTexts ON, stored texts are
+    //    retained in state, so any cross pair whose BOTH texts are on hand
+    //    gets the same full ST3 pass rule — batch-parity semantics; pairs
+    //    with a missing stored text (state predating the toggle, or GC'd
+    //    content) fall back to the signature-estimate tier below. With the
+    //    knob OFF (default), all cross pairs use the estimate tier:
+    //    MinHash-estimated Jaccard over the 128-perm signatures OR SimHash
+    //    Hamming. Threshold on the estimate is cfg.minJaccard minus 2
+    //    sigma (sigma = sqrt(J(1-J)/numPerm)) so planted true pairs still
+    //    pass. The estimate tier is strictly MORE permissive than batch
+    //    ST3 (no exact-J, no LCS gate, OR of the gates); every edge it
+    //    accepts is counted as est_only in the batch metrics row so the
+    //    divergence is measurable, and IncrementalDedupSpec's parity tests
+    //    gate cluster agreement with the batch pipeline on a planted
+    //    corpus (exact agreement + zero est-only with the knob on).
     val newVerified = Pipeline.verifyPairs(newPairs, contents.select("node_id", "text"), cfg)
       .where(col("passed")).select("id_a", "id_b")
       .localCheckpoint(false)
+    val retain = cfg.incRetainTexts
+    val textsAll =
+      if (!retain) null
+      else readOrEmpty(spark, dirs.texts, contents.select("node_id", "text"))
+        .select("node_id", "text")
+        .unionByName(contents.select("node_id", "text"))
+        .dropDuplicates("node_id").localCheckpoint(false)
+    val exactCrossPairs =
+      if (!retain) crossPairs.limit(0)
+      else {
+        val have = textsAll.select("node_id")
+        crossPairs
+          .join(have.withColumnRenamed("node_id", "id_a"), Seq("id_a"), "left_semi")
+          .join(have.withColumnRenamed("node_id", "id_b"), Seq("id_b"), "left_semi")
+          .localCheckpoint(false)
+      }
+    val estCrossPairs =
+      if (!retain) crossPairs
+      else crossPairs.join(exactCrossPairs, Seq("id_a", "id_b"), "left_anti")
+        .localCheckpoint(false)
+    val crossExactVerified =
+      if (!retain) exactCrossPairs // empty, (id_a, id_b)
+      else Pipeline.verifyPairs(exactCrossPairs, textsAll, cfg)
+        .where(col("passed")).select("id_a", "id_b").localCheckpoint(false)
     val allSigs = (if (exists(dirs.signatures))
       spark.read.parquet(dirs.signatures).unionByName(sigs) else sigs)
       .select("node_id", "minhash", "simhash")
@@ -271,7 +304,7 @@ object IncrementalDedup {
       col("minhash").as("mh_a"), col("simhash").as("sh_a"))
     val b = allSigs.select(col("node_id").as("id_b"),
       col("minhash").as("mh_b"), col("simhash").as("sh_b"))
-    val crossVerified = crossPairs.join(a, "id_a").join(b, "id_b")
+    val crossEstVerified = estCrossPairs.join(a, "id_a").join(b, "id_b")
       // each using-join moves its key column FIRST, so the column order here
       // is (id_b, id_a, ...) — select explicitly before the POSITIONAL tuple
       // decode or every cross-batch edge is stored orientation-reversed,
@@ -285,7 +318,7 @@ object IncrementalDedup {
         if (est >= estMin || ham <= maxHam) Some((idA, idB)) else None
       }.toDF("id_a", "id_b")
       .localCheckpoint(false)
-    val verified = newVerified.union(crossVerified)
+    val verified = newVerified.union(crossExactVerified).union(crossEstVerified)
 
     // ---- append state (+ the per-batch metrics row: the durable counter
     // that makes the est-only divergence auditable over a stream's life)
@@ -293,9 +326,11 @@ object IncrementalDedup {
     appendParquet(newBands, dirs.bandIndex)
     appendParquet(newMemberRows, dirs.members)
     appendParquet(verified, dirs.edges)
+    if (retain) appendParquet(contents.select("node_id", "text"), dirs.texts)
     appendParquet(
       Seq((batchId, newPairs.count(), crossPairs.count(),
-        newVerified.count(), crossVerified.count(), System.currentTimeMillis()))
+        newVerified.count() + crossExactVerified.count(), crossEstVerified.count(),
+        System.currentTimeMillis()))
         .toDF("batch_id", "candidates_new", "candidates_cross",
           "edges_exact_verified", "edges_est_only", "committed_ms"),
       dirs.metrics)
@@ -481,7 +516,8 @@ object IncrementalDedup {
     * no connected-components rerun. */
   def remapNodeIds(spark: SparkSession, dirs: StateDirs, mapping: DataFrame,
       crashAfterTables: Int = Int.MaxValue): Unit = {
-    Seq(dirs.clusters, dirs.members, dirs.signatures, dirs.bandIndex, dirs.edges)
+    Seq(dirs.clusters, dirs.members, dirs.signatures, dirs.bandIndex, dirs.edges,
+      dirs.texts)
       .foreach(recoverSwap)
     val m = mapping.select(col("old_id").cast("long").as("old_id"),
       col("new_id").cast("long").as("new_id")).distinct().localCheckpoint(true)
@@ -529,7 +565,7 @@ object IncrementalDedup {
     // not silently merge — the extra scan is cheap next to the rewrite.
     val nodeIdTables =
       Seq("signatures" -> dirs.signatures, "members" -> dirs.members, "clusters" -> dirs.clusters,
-        "band_index" -> dirs.bandIndex)
+        "band_index" -> dirs.bandIndex, "texts" -> dirs.texts)
         .filter { case (name, p) => !done.contains(name) && exists(p) }
         .map { case (_, p) => spark.read.parquet(p).select(col("node_id").as("id")) }
     val edgeIdTables =
@@ -572,6 +608,7 @@ object IncrementalDedup {
       }
     }
     rewrite("signatures", dirs.signatures)(remapCol(_, "node_id"))
+    rewrite("texts", dirs.texts)(remapCol(_, "node_id"))
     rewrite("band_index", dirs.bandIndex)(remapCol(_, "node_id"))
     rewrite("members", dirs.members)(remapCol(_, "node_id"))
     rewrite("edges", dirs.edges) { e =>
@@ -616,7 +653,7 @@ object IncrementalDedup {
         Files.list(Paths.get(p)).iterator().asScala.count(Files.isRegularFile(_))
       }
     val dirsToWatch = Seq(dirs.members, dirs.edges, dirs.bandIndex, dirs.signatures,
-      dirs.metrics)
+      dirs.metrics, dirs.texts)
     if (!dirsToWatch.exists(fileCount(_) > threshold)) return false
 
     val live = spark.read.parquet(dirs.clusters)
@@ -633,6 +670,10 @@ object IncrementalDedup {
           col("m.warc_ts").as("warc_ts"), col("m.batch_id").as("batch_id"))
     }
     rewrite(dirs.signatures)(_.join(live, Seq("node_id"), "left_semi"))
+    // retained texts (incRetainTexts): live nodes only, one row per node —
+    // same GC-then-resurrect trade as signatures (the batch re-carries the
+    // text, so a resurrected content is re-retained on re-entry)
+    rewrite(dirs.texts)(_.dropDuplicates("node_id").join(live, Seq("node_id"), "left_semi"))
     rewrite(dirs.bandIndex)(_.distinct().join(live, Seq("node_id"), "left_semi"))
     rewrite(dirs.edges) { e =>
       e.distinct()

@@ -1,0 +1,85 @@
+package graft.web
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization — the web-scale analogue of the reference's
+  * filesystem-path canonicalization before identity grouping
+  * (/root/reference/src/process_matches.rs:116-124 canonicalizes every
+  * scanned directory so two spellings of one location dedup as one).
+  * For Common-Crawl-style corpora the same first tier applies to urls:
+  * canonical-url equality collapses re-crawls of one page *before* any
+  * content hashing, and it is the cheapest dedup tier of all (a pure
+  * narrow map + one hash-partitioned groupBy, no content reads).
+  *
+  * Built entirely from builtin string/array expressions so the whole
+  * canonicalization stays inside whole-stage codegen AND is expressible
+  * verbatim in ANSI SQL (the DuckDB oracle recomputes it independently).
+  *
+  * Steps (conservative, order matters):
+  *   1. scheme and host lower-cased (RFC 3986 §6.2.2.1 case normalization)
+  *   2. default port stripped (:80 for http, :443 for https)
+  *   3. leading `www.` stripped from the host
+  *   4. fragment dropped (never sent to the server)
+  *   5. empty path -> "/"; trailing `/index.html` / `/index.htm` -> "/";
+  *      then a trailing slash is stripped unless the path IS "/"
+  *   6. tracking query params dropped (utm_*, gclid, fbclid, ref),
+  *      remaining params sorted byte-lexicographically, rejoined; an
+  *      empty result drops the "?" entirely
+  *
+  * Anything not matching `scheme://...` is returned unchanged (opaque
+  * ids, relative refs): canonicalization must never invent structure.
+  */
+object UrlCanon {
+
+  /** Tracking-param pattern: a param whose NAME matches, with or without
+    * a value. Anchored; shared verbatim with the oracle SQL. */
+  val TrackingParam = "^(utm_[^=]*|gclid|fbclid|ref)(=|$)"
+
+  def canonicalUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    val hostport = lower(regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1))
+    val dePorted = when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .otherwise(hostport)
+    val host = regexp_replace(dePorted, "^www\\.", "")
+    val rawPath = regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val deIndexed = regexp_replace(
+      when(rawPath === "", lit("/")).otherwise(rawPath), "/index\\.html?$", "/")
+    val path = when(deIndexed === "/", deIndexed)
+      .otherwise(regexp_replace(deIndexed, "/$", ""))
+    val query = regexp_extract(url, "^[^#?]*\\?([^#]*)", 1)
+    val params = array_sort(filter(split(query, "&"),
+      p => p =!= "" && !p.rlike(TrackingParam)))
+    val qstr = array_join(params, "&")
+    when(scheme === "", url) // not scheme://... -> opaque, unchanged
+      .otherwise(concat(scheme, lit("://"), host, path,
+        when(qstr === "", lit("")).otherwise(concat(lit("?"), qstr))))
+  }
+
+  /** The same canonicalization as an ANSI-SQL scalar over column `c`,
+    * for DuckDB oracles. Kept as a string template so every rule lives
+    * in ONE file next to its Spark twin. */
+  def oracleSqlExpr(c: String): String = {
+    val scheme = s"lower(regexp_extract($c, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))"
+    val hostport = s"lower(regexp_extract($c, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1))"
+    val dePorted =
+      s"""CASE WHEN $scheme = 'http' THEN regexp_replace($hostport, ':80$$', '')
+         |     WHEN $scheme = 'https' THEN regexp_replace($hostport, ':443$$', '')
+         |     ELSE $hostport END""".stripMargin
+    val host = s"regexp_replace($dePorted, '^www\\.', '')"
+    val rawPath = s"regexp_extract($c, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1)"
+    val deIndexed =
+      s"regexp_replace(CASE WHEN $rawPath = '' THEN '/' ELSE $rawPath END, '/index\\.html?$$', '/')"
+    val path = s"CASE WHEN $deIndexed = '/' THEN '/' ELSE regexp_replace($deIndexed, '/$$', '') END"
+    val query = s"regexp_extract($c, '^[^#?]*\\?([^#]*)', 1)"
+    // coalesce: DuckDB's array_to_string over an EMPTY list yields NULL
+    // (Spark's array_join yields ''), and NULL would poison the concat.
+    val qstr =
+      s"""coalesce(array_to_string(list_sort(list_filter(str_split($query, '&'),
+         |  p -> p <> '' AND NOT regexp_matches(p, '$TrackingParam'))), '&'), '')""".stripMargin
+    s"""CASE WHEN $scheme = '' THEN $c
+       |ELSE $scheme || '://' || $host || $path ||
+       |  (CASE WHEN $qstr = '' THEN '' ELSE '?' || $qstr END) END""".stripMargin
+  }
+}

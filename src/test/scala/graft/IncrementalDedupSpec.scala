@@ -364,6 +364,63 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(sums.getLong(1) >= 2, s"expected est-only cross-batch edges, got ${sums.getLong(1)}")
   }
 
+  test("incRetainTexts: cross-batch pairs get the full ST3 verify (zero est-only)") {
+    // Same planted corpus/batching as the parity test, with texts retained:
+    // every cross-batch pair now has both texts on hand, so the est tier
+    // must never fire and the clustering must equal the batch pipeline's
+    // BY THE SAME RULE (full ST3), not merely agree on this corpus.
+    def toks(g: String) = (1 to 60).map(i => s"$g$i").mkString(" ")
+    def near(g: String, odd: String) = (1 to 60).map(i => if (i == 30) odd else s"$g$i").mkString(" ")
+    val all = Seq(
+      page("u://a1", toks("aa")), page("u://a2", near("aa", "zq0")), page("u://a3", near("aa", "zq1")),
+      page("u://b1", toks("bb")), page("u://b2", near("bb", "zq2")),
+      page("u://c1", toks("cc")), page("u://c2", near("cc", "zq3")),
+      page("u://s1", toks("dd")), page("u://s2", toks("ee")), page("u://s3", toks("ff")))
+    val byUrl = all.map(p => p._1 -> p).toMap
+    val batches = Seq(
+      Seq("u://a1", "u://a2", "u://b1", "u://s1"),
+      Seq("u://a3", "u://c1", "u://c2", "u://s2"),
+      Seq("u://b2", "u://s3")).map(_.map(byUrl))
+    def groupsOf(rows: Array[(String, Long)]): Set[Set[String]] =
+      rows.groupBy(_._2).values.map(_.map(_._1).toSet).filter(_.size >= 2).toSet
+    val cfgR = cfg.copy(incRetainTexts = true)
+
+    val root = Files.createTempDirectory("graft-retain").toString
+    val dirs = StateDirs(root)
+    batches.zipWithIndex.foreach { case (b, i) =>
+      IncrementalDedup.processBatch(df(b), cfgR, dirs, batchId = i.toLong) }
+    val incGroups = groupsOf(spark.read.parquet(dirs.clusters).select("url", "cluster_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))))
+    assert(incGroups == Set(Set("u://a1", "u://a2", "u://a3"), Set("u://b1", "u://b2"),
+      Set("u://c1", "u://c2")), s"retain-texts incremental missed the planted truth: $incGroups")
+    // the whole point of the knob: nothing was accepted on estimates alone
+    val sums = spark.read.parquet(s"$root/metrics")
+      .agg(org.apache.spark.sql.functions.sum("edges_exact_verified"),
+        org.apache.spark.sql.functions.sum("edges_est_only")).collect()(0)
+    assert(sums.getLong(1) == 0, s"est-only edges with texts retained: ${sums.getLong(1)}")
+    assert(sums.getLong(0) >= 4, s"expected all edges exact-verified, got ${sums.getLong(0)}")
+    // texts state holds one row per distinct content, keyed by node_id
+    val texts = spark.read.parquet(dirs.texts)
+    assert(texts.columns.toSet == Set("node_id", "text"))
+    assert(texts.select("node_id").distinct().count() == texts.count())
+
+    // toggle-on mid-stream: batch 1 without retention, rest with. Cross
+    // pairs against the unretained batch-1 nodes must FALL BACK to the est
+    // gates (counted), never drop; clusters still match the planted truth.
+    val root2 = Files.createTempDirectory("graft-retain-mid").toString
+    val dirs2 = StateDirs(root2)
+    batches.zipWithIndex.foreach { case (b, i) =>
+      IncrementalDedup.processBatch(df(b),
+        if (i == 0) cfg else cfgR, dirs2, batchId = i.toLong) }
+    val midGroups = groupsOf(spark.read.parquet(dirs2.clusters).select("url", "cluster_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))))
+    assert(midGroups == incGroups, s"mid-stream toggle lost clusters: $midGroups")
+    val sums2 = spark.read.parquet(s"$root2/metrics")
+      .agg(org.apache.spark.sql.functions.sum("edges_est_only")).collect()(0)
+    assert(sums2.getLong(0) >= 1,
+      "expected est-only fallback edges against pre-toggle (unretained) nodes")
+  }
+
   test("combined census: stored+batch jointly over maxBandGroup salts the cell") {
     import org.apache.spark.sql.functions.{xxhash64, pmod, lit => flit}
     val cfgC = cfg.copy(maxBandGroup = 4)
