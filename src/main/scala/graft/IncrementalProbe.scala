@@ -17,9 +17,18 @@ import graft.streaming.IncrementalDedup.StateDirs
   *     [(b-1)*U, b*U), so every batch brings genuinely new urls and content
   *     with their own in-batch dup structure);
   *   - plus `crossFrac` of the PREVIOUS batch's units re-published under
-  *     new urls (same text, url + "#rc<b>"), so every batch also exercises
-  *     the cross-batch path end-to-end: stored-band-index probing, the
-  *     signature-estimate verify tier, and edges into prior components.
+  *     new urls (url + "#rc<b>"). With crossMode=url the text is identical,
+  *     so the republication is an IDENTITY-level cross-batch event: the new
+  *     url binds to the already-stored node (no new content, no new edge) —
+  *     this measures the binding/recluster path. With crossMode=near the
+  *     republished text gains one trailing token (shingle-Jaccard
+  *     (n-4)/(n-3) ≈ 0.96 vs the stored doc, html dropped so the mutated
+  *     text is what extraction sees), making every republication NEW
+  *     content that must be discovered through the durable band index and
+  *     pass the cross-batch verify tier — est-gates when texts are not
+  *     retained (edges_est_only grows), full ST3 when cfg.incRetainTexts
+  *     is on (edges_est_only stays 0). This is the probe for the
+  *     retain-texts trade: state bytes vs verify semantics.
   *
   * Per batch it prints wall seconds plus state row counts read AFTER the
   * clock stops (reading state is not part of the claim being measured).
@@ -29,7 +38,7 @@ import graft.streaming.IncrementalDedup.StateDirs
   *
   * Usage: runMain graft.IncrementalProbe [cpus] [batches] [unitsPerBatch]
   *                                       [root] [tokensScale] [crossFrac]
-  *                                       [retainTexts 0|1]
+  *                                       [retainTexts 0|1] [crossMode url|near]
   */
 object IncrementalProbe {
 
@@ -41,6 +50,7 @@ object IncrementalProbe {
     val tokensScale = if (args.length > 4) args(4).toInt else 1
     val crossFrac = if (args.length > 5) args(5).toDouble else 0.1
     val retainTexts = args.length > 6 && args(6) == "1"
+    val crossMode = if (args.length > 7) args(7) else "url"
 
     val spark = graft.util.LocalSession(cpus, s"graft-inc-probe-$cpus")
     val cfg = GraftConfig(incRetainTexts = retainTexts)
@@ -52,11 +62,16 @@ object IncrementalProbe {
           unitOffset = (b - 1).toLong * unitsPerBatch))
       if (b == 1) fresh
       else {
-        val republished = PagesGen.pages(spark,
+        val republished0 = PagesGen.pages(spark,
           PagesGen.Spec(nUnits = math.max(1L, (unitsPerBatch * crossFrac).toLong),
             tokensScale = tokensScale,
             unitOffset = (b - 2).toLong * unitsPerBatch))
           .withColumn("url", concat(col("url"), lit(s"#rc$b")))
+        val republished =
+          if (crossMode != "near") republished0
+          else republished0
+            .withColumn("html", lit(null).cast("binary")) // extraction reads text
+            .withColumn("text", concat_ws(" ", col("text"), lit(s"rcnear$b")))
         fresh.union(republished)
       }
     }
@@ -101,7 +116,8 @@ object IncrementalProbe {
     val json = walls.map(s => f"$s%.2f").mkString("[", ",", "]")
     println(s"""GRAFT_INC_PROBE {"cpus":$cpus,"batches":$batches,""" +
       s""""units_per_batch":$unitsPerBatch,"cross_frac":$crossFrac,""" +
-      s""""retain_texts":$retainTexts,"signatures_bytes":$sigBytes,""" +
+      s""""retain_texts":$retainTexts,"cross_mode":"$crossMode",""" +
+      s""""signatures_bytes":$sigBytes,""" +
       s""""texts_bytes":$textBytes,"batch_wall_secs":$json}""")
     spark.stop()
   }
