@@ -22,8 +22,11 @@ import graft.streaming.IncrementalDedup.StateDirs
   *     url binds to the already-stored node (no new content, no new edge) —
   *     this measures the binding/recluster path. With crossMode=near the
   *     republished text gains one trailing token (shingle-Jaccard
-  *     (n-4)/(n-3) ≈ 0.96 vs the stored doc, html dropped so the mutated
-  *     text is what extraction sees), making every republication NEW
+  *     (n-4)/(n-3) vs the stored doc — ≥ 0.99 at PagesGen's 120-300-token
+  *     texts, far above every gate: the probe exercises the tier's
+  *     MECHANICS and cost, not borderline-threshold behavior; html dropped
+  *     so the mutated text is what extraction sees), making every
+  *     republication NEW
   *     content that must be discovered through the durable band index and
   *     pass the cross-batch verify tier — est-gates when texts are not
   *     retained (edges_est_only grows), full ST3 when cfg.incRetainTexts
@@ -49,8 +52,12 @@ object IncrementalProbe {
     val root = if (args.length > 3) args(3) else "/dev/shm/graft-inc-probe"
     val tokensScale = if (args.length > 4) args(4).toInt else 1
     val crossFrac = if (args.length > 5) args(5).toDouble else 0.1
-    val retainTexts = args.length > 6 && args(6) == "1"
+    val retainArg = if (args.length > 6) args(6) else "0"
+    require(retainArg == "0" || retainArg == "1", s"retainTexts must be 0 or 1, got '$retainArg'")
+    val retainTexts = retainArg == "1"
     val crossMode = if (args.length > 7) args(7) else "url"
+    require(crossMode == "url" || crossMode == "near",
+      s"crossMode must be 'url' or 'near', got '$crossMode'")
 
     val spark = graft.util.LocalSession(cpus, s"graft-inc-probe-$cpus")
     val cfg = GraftConfig(incRetainTexts = retainTexts)

@@ -319,21 +319,12 @@ object SparkEntry {
     //      trailing slash, tracking params, param order, fragment — must
     //      collapse to ONE canonical url. Pure narrow map + hash groupBy:
     //      the cheapest dedup tier at 100 TB (no content ever read).
-    "url_canon_groups" -> ((s, dir) => {
-      val g = col("doc_id") - pmod(col("doc_id"), lit(4))
-      val h = pmod(g, lit(97)).cast("string")
-      val gs = g.cast("string")
-      val v = pmod(col("doc_id"), lit(4))
-      val raw = when(v === 0, concat(lit("https://host"), h, lit(".example/d/"), gs, lit("/0?b=2&a=1")))
-        .when(v === 1, concat(lit("HTTPS://HOST"), h, lit(".EXAMPLE:443/d/"), gs, lit("/0?utm_source=feed&b=2&a=1#frag")))
-        .when(v === 2, concat(lit("https://www.host"), h, lit(".example/d/"), gs, lit("/0/index.html?a=1&b=2&gclid=zz")))
-        .otherwise(concat(lit("https://host"), h, lit(".example:443/d/"), gs, lit("/0/?b=2&utm_campaign=x&a=1")))
+    "url_canon_groups" -> ((s, dir) =>
       docs(s, dir)
-        .select(raw.as("raw_url"))
+        .select(graft.web.UrlCanon.docIdVariantUrl(col("doc_id")).as("raw_url"))
         .groupBy(graft.web.UrlCanon.canonicalUrl(col("raw_url")).as("canon"))
         .agg(count(lit(1)).as("n_variants"), countDistinct(col("raw_url")).as("n_raw"))
-        .orderBy("canon")
-    }),
+        .orderBy("canon")),
 
     // ============ relational coverage (TPC-H-ish shared tables) ==========
     // Money is compared as exact integer cents: per-element

@@ -271,12 +271,23 @@ object IncrementalDedup {
       .where(col("passed")).select("id_a", "id_b")
       .localCheckpoint(false)
     val retain = cfg.incRetainTexts
+    // Scale contract: the stored texts table is the one state dir whose
+    // BYTES grow with the live corpus, so it must never be scanned whole
+    // per batch — prune it to this batch's cross-pair ENDPOINTS (a
+    // node_id-column semi-join; parquet reads only matching text rows)
+    // before any shuffle. Per-batch text I/O is O(cross candidates), not
+    // O(live corpus), preserving the O(batch + affected dup-graph) bound.
     val textsAll =
       if (!retain) null
-      else readOrEmpty(spark, dirs.texts, contents.select("node_id", "text"))
-        .select("node_id", "text")
-        .unionByName(contents.select("node_id", "text"))
-        .dropDuplicates("node_id").localCheckpoint(false)
+      else {
+        val crossIds = crossPairs.select(col("id_a").as("node_id"))
+          .union(crossPairs.select(col("id_b").as("node_id"))).distinct()
+        readOrEmpty(spark, dirs.texts, contents.select("node_id", "text"))
+          .select("node_id", "text")
+          .join(crossIds, Seq("node_id"), "left_semi")
+          .unionByName(contents.select("node_id", "text"))
+          .dropDuplicates("node_id").localCheckpoint(false)
+      }
     val exactCrossPairs =
       if (!retain) crossPairs.limit(0)
       else {
@@ -527,7 +538,7 @@ object IncrementalDedup {
       s"remap mapping is not 1-to-1 ($dupOld duplicated old ids, $dupNew duplicated new ids) " +
         "- refusing: applying it would merge or split content identities")
 
-    // Multi-table journal: the remap rewrites five tables and a crash in
+    // Multi-table journal: the remap rewrites six tables and a crash in
     // between leaves them keyed inconsistently. The journal (mapping hash +
     // completed-table list, atomically renamed after each table) makes the
     // op RESUMABLE: re-running the same mapping skips completed tables and

@@ -21,8 +21,12 @@ import org.apache.spark.sql.functions._
   *   2. default port stripped (:80 for http, :443 for https)
   *   3. leading `www.` stripped from the host
   *   4. fragment dropped (never sent to the server)
-  *   5. empty path -> "/"; trailing `/index.html` / `/index.htm` -> "/";
-  *      then a trailing slash is stripped unless the path IS "/"
+  *   5. empty path -> "/"; trailing slashes stripped; then trailing
+  *      `/index.html` / `/index.htm` segments stripped (repeats too);
+  *      an emptied path -> "/". Order matters for idempotence: stripping
+  *      slashes FIRST means `/dir/index.html/` and `/dir/index.html`
+  *      both reach the de-index rule, and the output can never end in a
+  *      slash (unless root) nor in an index segment, so canon∘canon=canon
   *   6. tracking query params dropped (utm_*, gclid, fbclid, ref),
   *      remaining params sorted byte-lexicographically, rejoined; an
   *      empty result drops the "?" entirely
@@ -44,10 +48,9 @@ object UrlCanon {
       .otherwise(hostport)
     val host = regexp_replace(dePorted, "^www\\.", "")
     val rawPath = regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
-    val deIndexed = regexp_replace(
-      when(rawPath === "", lit("/")).otherwise(rawPath), "/index\\.html?$", "/")
-    val path = when(deIndexed === "/", deIndexed)
-      .otherwise(regexp_replace(deIndexed, "/$", ""))
+    val deSlashed = regexp_replace(rawPath, "/+$", "")
+    val deIndexed = regexp_replace(deSlashed, "(/index\\.html?)+$", "")
+    val path = when(deIndexed === "", lit("/")).otherwise(deIndexed)
     val query = regexp_extract(url, "^[^#?]*\\?([^#]*)", 1)
     val params = array_sort(filter(split(query, "&"),
       p => p =!= "" && !p.rlike(TrackingParam)))
@@ -55,6 +58,23 @@ object UrlCanon {
     when(scheme === "", url) // not scheme://... -> opaque, unchanged
       .otherwise(concat(scheme, lit("://"), host, path,
         when(qstr === "", lit("")).otherwise(concat(lit("?"), qstr))))
+  }
+
+  /** Deterministic 4-way spelled-variant url for a doc id — fixture for the
+    * `url_canon_groups` oracle query and its spec (one shared definition so
+    * the spec gates the same synthesis the query runs; the DuckDB twin in
+    * SparkEntry.oracleSql is the intentional second copy). Four consecutive
+    * doc ids form one canonical group: every variant canonicalizes to
+    * `https://host{g%97}.example/d/{g}/0?a=1&b=2` where g = id - id%4. */
+  def docIdVariantUrl(docId: Column): Column = {
+    val g = docId - pmod(docId, lit(4))
+    val h = pmod(g, lit(97)).cast("string")
+    val gs = g.cast("string")
+    val v = pmod(docId, lit(4))
+    when(v === 0, concat(lit("https://host"), h, lit(".example/d/"), gs, lit("/0?b=2&a=1")))
+      .when(v === 1, concat(lit("HTTPS://HOST"), h, lit(".EXAMPLE:443/d/"), gs, lit("/0?utm_source=feed&b=2&a=1#frag")))
+      .when(v === 2, concat(lit("https://www.host"), h, lit(".example/d/"), gs, lit("/0/index.html?a=1&b=2&gclid=zz")))
+      .otherwise(concat(lit("https://host"), h, lit(".example:443/d/"), gs, lit("/0/?b=2&utm_campaign=x&a=1")))
   }
 
   /** The same canonicalization as an ANSI-SQL scalar over column `c`,
@@ -70,8 +90,8 @@ object UrlCanon {
     val host = s"regexp_replace($dePorted, '^www\\.', '')"
     val rawPath = s"regexp_extract($c, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1)"
     val deIndexed =
-      s"regexp_replace(CASE WHEN $rawPath = '' THEN '/' ELSE $rawPath END, '/index\\.html?$$', '/')"
-    val path = s"CASE WHEN $deIndexed = '/' THEN '/' ELSE regexp_replace($deIndexed, '/$$', '') END"
+      s"regexp_replace(regexp_replace($rawPath, '/+$$', ''), '(/index\\.html?)+$$', '')"
+    val path = s"CASE WHEN $deIndexed = '' THEN '/' ELSE $deIndexed END"
     val query = s"regexp_extract($c, '^[^#?]*\\?([^#]*)', 1)"
     // coalesce: DuckDB's array_to_string over an EMPTY list yields NULL
     // (Spark's array_join yields ''), and NULL would poison the concat.

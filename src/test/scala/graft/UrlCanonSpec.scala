@@ -29,6 +29,10 @@ class UrlCanonSpec extends SparkSpec {
     "https://a.b/dir/index.htm" -> "https://a.b/dir",
     "https://a.b/index.html" -> "https://a.b/",
     "https://a.b/" -> "https://a.b/",
+    // slash-then-index ordering: these join the same groups as above
+    "https://a.b/dir/index.html/" -> "https://a.b/dir",
+    "https://a.b/dir//" -> "https://a.b/dir",
+    "https://a.b/index.html/index.html" -> "https://a.b/",
     // fragment dropped, empty query dropped
     "https://a.b/p#sec" -> "https://a.b/p",
     "https://a.b/p?" -> "https://a.b/p",
@@ -52,17 +56,9 @@ class UrlCanonSpec extends SparkSpec {
   }
 
   test("the four synthetic doc_id variants collapse to one canonical url") {
-    // Mirror of the url_canon_groups query's variant synthesis.
+    // Same synthesis the url_canon_groups query runs (shared helper).
     val df = spark.range(0, 40).toDF("doc_id")
-    val g = col("doc_id") - pmod(col("doc_id"), lit(4))
-    val h = pmod(g, lit(97)).cast("string")
-    val gs = g.cast("string")
-    val v = pmod(col("doc_id"), lit(4))
-    val raw = when(v === 0, concat(lit("https://host"), h, lit(".example/d/"), gs, lit("/0?b=2&a=1")))
-      .when(v === 1, concat(lit("HTTPS://HOST"), h, lit(".EXAMPLE:443/d/"), gs, lit("/0?utm_source=feed&b=2&a=1#frag")))
-      .when(v === 2, concat(lit("https://www.host"), h, lit(".example/d/"), gs, lit("/0/index.html?a=1&b=2&gclid=zz")))
-      .otherwise(concat(lit("https://host"), h, lit(".example:443/d/"), gs, lit("/0/?b=2&utm_campaign=x&a=1")))
-    val groups = df.select(UrlCanon.canonicalUrl(raw).as("canon"))
+    val groups = df.select(UrlCanon.canonicalUrl(UrlCanon.docIdVariantUrl(col("doc_id"))).as("canon"))
       .groupBy("canon").count().collect()
     assert(groups.length == 10)
     assert(groups.forall(_.getLong(1) == 4L))
