@@ -55,6 +55,41 @@ class UrlCanonSpec extends SparkSpec {
     }
   }
 
+  test("canonicalization is idempotent on seeded random URL shapes") {
+    // Structured fuzz: random draws over every rule's trigger dimensions
+    // (case, www, ports, path depth, trailing slashes, index segments,
+    // params incl. tracking names, fragments). Deterministic seed.
+    val rng = new scala.util.Random(20260818L)
+    def pick[T](xs: Seq[T]): T = xs(rng.nextInt(xs.length))
+    val urls = (1 to 300).map { _ =>
+      val scheme = pick(Seq("http", "https", "HTTP", "HTTPS", "ftp"))
+      val www = pick(Seq("", "www.", "WWW."))
+      val host = pick(Seq("a.b", "Example.COM", "HOST7.example"))
+      val port = pick(Seq("", ":80", ":443", ":8080"))
+      val segs = (0 until rng.nextInt(4)).map(_ => pick(Seq("d", "x9", "Index", "p_q")))
+      val tail = pick(Seq("", "/", "//", "/index.html", "/index.htm", "/index.html/"))
+      val params = (0 until rng.nextInt(4)).map(_ =>
+        pick(Seq("a=1", "b=2", "utm_source=t", "gclid=z", "ref=r", "refresh=1", "")))
+      val query = if (params.isEmpty && rng.nextBoolean()) "" else "?" + params.mkString("&")
+      val frag = pick(Seq("", "#f", "#frag/with?q"))
+      s"$scheme://$www$host$port${segs.map("/" + _).mkString}$tail$query$frag"
+    }
+    val df = urls.toDF("u")
+    val once = df.select(UrlCanon.canonicalUrl(col("u")).as("c1"))
+    val twice = once.select(col("c1"), UrlCanon.canonicalUrl(col("c1")).as("c2"))
+      .where(col("c1") =!= col("c2"))
+    val bad = twice.collect()
+    assert(bad.isEmpty, s"non-idempotent canon on: ${bad.take(5).mkString("; ")}")
+    // canonical outputs never retain the stripped artifacts (fragments,
+    // dangling '?', trailing index segments, tracking params; default
+    // ports only for their OWN scheme — ftp legitimately keeps :80/:443)
+    val arts = once.where(col("c1").rlike(
+      "#|\\?$|/index\\.html?$|[&?](utm_|gclid|fbclid|ref=)") ||
+      col("c1").rlike("^http://[^/]*:80/") || col("c1").rlike("^https://[^/]*:443/"))
+      .collect()
+    assert(arts.isEmpty, s"stripped artifact survived: ${arts.take(5).mkString("; ")}")
+  }
+
   test("the four synthetic doc_id variants collapse to one canonical url") {
     // Same synthesis the url_canon_groups query runs (shared helper).
     val df = spark.range(0, 40).toDF("doc_id")
