@@ -82,6 +82,12 @@ object Pipeline {
   def extract(pages: DataFrame, cfg: GraftConfig): DataFrame = {
     val base = pages
       .where(col("url").isNotNull && (col("html").isNotNull || col("text").isNotNull))
+      // F2/X4 run on the canonical form when the knob is on: exclusion,
+      // latest-binding resolution, keeper selection, and the report all see
+      // ONE spelling per page (url-canon tier, cfg.canonicalizeUrls)
+      .withColumn("url",
+        if (cfg.canonicalizeUrls) graft.web.UrlCanon.canonicalUrl(col("url"))
+        else col("url"))
       .withColumn(
         "text",
         when(col("html").isNotNull, GraftFunctions.extractText(col("html")))
@@ -90,12 +96,18 @@ object Pipeline {
       case Some(re) => base.where(!col("url").rlike(re))
       case None     => base
     }
-    excluded
+    val rows = excluded
       .where(length(col("text")).between(cfg.minLen, cfg.maxLen))
       .withColumn("n_bytes", octet_length(col("text")).cast("long"))
       .withColumn("exact_hash", unhex(md5(col("text")))) // 128-bit content identity (§7.5 collision bound)
       .withColumn("node_id", xxhash64(col("exact_hash")))
       .select("url", "warc_ts", "text", "lang", "n_bytes", "exact_hash", "node_id")
+    // Under canonicalization, k spellings of one page with one content are
+    // ONE observation, not k members — collapse exact (url, content)
+    // repeats so they can't inflate cluster sizes or redundant-bytes.
+    // (Same canonical url with DIFFERENT content stays multi-row: batch
+    // mode has no latest-binding resolution; incremental mode resolves it.)
+    if (cfg.canonicalizeUrls) rows.dropDuplicates("url", "node_id") else rows
   }
 
   /** One row per distinct content: (node_id, n_bytes, text). The J3

@@ -94,7 +94,16 @@ final case class GraftConfig(
       * be missing or orphaned but never stale. Off by default: at 100 TB
       * the signature-only state is ~100x smaller, and the measured est-gate
       * divergence on web corpora is small (IncrementalDedupSpec parity). */
-    incRetainTexts: Boolean = false
+    incRetainTexts: Boolean = false,
+    /** Canonicalize urls at extraction (graft.web.UrlCanon: case, default
+      * ports, www, fragments, index segments, trailing slashes, tracking
+      * params) BEFORE exclusion, binding, and reporting — the web analogue
+      * of the reference canonicalizing paths before identity grouping
+      * (process_matches.rs:116-124). Two spellings of one page then dedup
+      * as ONE url (latest-binding, keeper selection, membership all see the
+      * canonical form). Off by default: url identity is caller-visible, and
+      * exclusion regexes written against raw urls would silently re-anchor. */
+    canonicalizeUrls: Boolean = false
 ) {
   require(numPerm % bands == 0, s"numPerm=$numPerm must be divisible by bands=$bands")
   def rowsPerBand: Int = numPerm / bands

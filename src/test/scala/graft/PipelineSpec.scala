@@ -186,4 +186,33 @@ class PipelineSpec extends SparkSpec {
       "st2_candidates", "st3_verified", "st4_clusters", "st5_report"))
     assert(result.metrics.forall(_.wall_ms >= 0))
   }
+
+  test("cfg.canonicalizeUrls collapses spelled url variants before grouping") {
+    import spark.implicits._
+    val t1 = (1 to 60).map(i => s"cu$i").mkString(" ")
+    val t2 = (1 to 60).map(i => s"cv$i").mkString(" ")
+    // one page under two spellings + a genuine exact copy at another url
+    val rows = Seq(
+      ("https://WWW.Site.COM:443/a/?utm_source=x&b=2&a=1", t1),
+      ("https://site.com/a?a=1&b=2", t1),
+      ("https://site.com/copy", t1),
+      ("https://site.com/other", t2))
+      .map { case (u, t) =>
+        (u, new java.sql.Timestamp(0L), null: Array[Byte], t, "en") }
+      .toDF("url", "warc_ts", "html", "text", "lang")
+
+    // knob OFF: raw spellings are distinct urls -> 3-member exact cluster
+    val off = Pipeline.run(spark, rows, GraftConfig()).report
+      .select("url", "cluster_id").collect()
+    assert(off.length == 3, s"expected 3 raw members, got ${off.length}")
+
+    // knob ON: the two spellings are ONE canonical observation -> the
+    // cluster is the canonical url + the genuine copy, nothing inflated
+    val on = Pipeline.run(spark, rows, GraftConfig(canonicalizeUrls = true)).report
+      .select("url", "cluster_id").collect()
+    val urls = on.map(_.getString(0)).sorted
+    assert(urls.sameElements(Array("https://site.com/a?a=1&b=2", "https://site.com/copy")),
+      s"canonical members wrong: ${urls.mkString(",")}")
+    assert(on.map(_.getLong(1)).distinct.length == 1)
+  }
 }
