@@ -12,9 +12,13 @@ import org.apache.spark.sql.functions._
   * content hashing, and it is the cheapest dedup tier of all (a pure
   * narrow map + one hash-partitioned groupBy, no content reads).
   *
-  * Built entirely from builtin string/array expressions so the whole
-  * canonicalization stays inside whole-stage codegen AND is expressible
-  * verbatim in ANSI SQL (the DuckDB oracle recomputes it independently).
+  * Built entirely from builtin string/array expressions — no UDF — so the
+  * whole canonicalization is ONE narrow Catalyst projection over the scan
+  * AND is expressible verbatim in ANSI SQL (the DuckDB oracle recomputes
+  * it independently). The scalar steps (regexp, lower, concat) are
+  * whole-stage-codegen'd; the query-param filter/sort use higher-order
+  * functions, which Spark evaluates as CodegenFallback — still vectorized
+  * columnar input, still zero shuffles (PlanSpec gates the plan shape).
   *
   * Steps (conservative, order matters):
   *   1. scheme and host lower-cased (RFC 3986 §6.2.2.1 case normalization)

@@ -95,4 +95,29 @@ class PlanSpec extends SparkSpec {
       .queryExecution.optimizedPlan.toString
     assert(plan.contains("LeftSemi"), s"no semi-join prune in verify input:\n${plan.take(2000)}")
   }
+
+  test("url canonicalization is one narrow builtin projection (no UDF, no shuffle)") {
+    import spark.implicits._
+    // The honest 100 TB property: the whole canonicalization is ONE narrow
+    // Project of builtin Catalyst expressions directly over the scan — no
+    // UDF black box, no exchange before the (partial-agg) groupBy. It is
+    // NOT fully whole-stage-codegen'd: the query-param sort/filter use
+    // higher-order functions, which are CodegenFallback in Spark — the
+    // scalar regexp/lower/concat steps codegen, the HOF lambdas interpret.
+    // range source (not a literal Seq): a foldable input constant-folds
+    // everything into a LocalTableScan and proves nothing.
+    val df = spark.range(0, 1000)
+      .select(graft.web.UrlCanon.canonicalUrl(
+        graft.web.UrlCanon.docIdVariantUrl(col("id"))).as("canon"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"canon projection shuffles:\n${plan.take(1500)}")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"canon fell back to a UDF:\n${plan.take(1500)}")
+    assert(plan.startsWith("Project ") || plan.contains("\nProject "),
+      s"expected a single Project over the source:\n${plan.take(1500)}")
+    val agg = SparkEntry.queries("url_canon_groups")(spark, sfDir)
+    val aggPlan = planOf(agg)
+    assert(aggPlan.contains("partial_count"),
+      s"canon groupBy lost its map-side partial:\n${aggPlan.take(2000)}")
+  }
 }
