@@ -107,7 +107,22 @@ object Pipeline {
     // repeats so they can't inflate cluster sizes or redundant-bytes.
     // (Same canonical url with DIFFERENT content stays multi-row: batch
     // mode has no latest-binding resolution; incremental mode resolves it.)
-    if (cfg.canonicalizeUrls) rows.dropDuplicates("url", "node_id") else rows
+    // The survivor is picked DETERMINISTICALLY — max (warc_ts, lang) among
+    // the collapsed spellings — not dropDuplicates, whose arbitrary-row
+    // semantics would make the surviving warc_ts depend on partitioning.
+    // text/n_bytes/exact_hash are functions of node_id, so first() on them
+    // is deterministic in value; the groupBy is the same single hash
+    // shuffle dropDuplicates would have run.
+    if (!cfg.canonicalizeUrls) rows
+    else rows
+      .groupBy("url", "node_id")
+      .agg(
+        max(struct(col("warc_ts"), col("lang"))).as("w"),
+        first(col("text")).as("text"),
+        first(col("n_bytes")).as("n_bytes"),
+        first(col("exact_hash")).as("exact_hash"))
+      .select(col("url"), col("w.warc_ts").as("warc_ts"), col("text"),
+        col("w.lang").as("lang"), col("n_bytes"), col("exact_hash"), col("node_id"))
   }
 
   /** One row per distinct content: (node_id, n_bytes, text). The J3

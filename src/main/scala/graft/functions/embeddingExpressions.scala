@@ -74,10 +74,14 @@ case class EmbeddingBandKeysExpr(child: Expression, bits: Int, bands: Int, seed:
   override def prettyName: String = "embedding_band_keys"
 
   // Hyperplanes depend on the runtime dim; built once per (instance, dim)
-  // and cached behind a single reference (one atomic read/write — the
-  // expression instance may be shared across task threads, and a dim+planes
-  // pair must never tear). Deterministic in (dim, bits, seed).
-  @transient private var cache: (Int, Array[Array[Double]]) = _
+  // and cached behind a single @volatile reference — the expression instance
+  // may be shared across task threads, and the volatile publish makes the
+  // tuple's contents visible to other threads (a plain var's reference
+  // write can't tear, but without the fence a reader could see a stale
+  // null and recompute; volatile also rules out unsafe publication of the
+  // array contents). Deterministic in (dim, bits, seed), so a benign race
+  // at worst recomputes an identical tuple.
+  @transient @volatile private var cache: (Int, Array[Array[Double]]) = _
 
   def kernel(input: ArrayData): GenericArrayData = {
     val v = input.toFloatArray()

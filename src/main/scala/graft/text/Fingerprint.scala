@@ -48,7 +48,16 @@ object Fingerprint {
   /** Winnowing selection: distinct sorted minima of each w-window
     * (unsigned comparison throughout — the short-input path must agree with
     * the windowed path or the shared-substring guarantee breaks at the
-    * length boundary). */
+    * length boundary).
+    *
+    * O(n) monotonic index deque (each index is pushed and popped at most
+    * once), allocation-free in the hot loop — this is a per-document kernel,
+    * so the constant factor matters at corpus scale. Rightmost-minimum rule
+    * (the paper's robust-winnowing tie-break) falls out of popping EQUAL
+    * values from the deque back: the newest of equal minima always wins.
+    * Output order/dedup matches the previous TreeSet exactly: distinct
+    * values, SIGNED ascending (the downstream merge in jaccardSorted and
+    * the order-sensitive fingerprint64 fold both key on this order). */
   def winnow(hashes: Array[Long], w: Int): Array[Long] = {
     if (hashes.isEmpty) return Array.empty
     if (hashes.length <= w) {
@@ -60,24 +69,37 @@ object Fingerprint {
       }
       return Array(m)
     }
-    val sel = new java.util.TreeSet[java.lang.Long]()
-    var start = 0
-    while (start + w <= hashes.length) {
-      var minIdx = start
-      var i = start + 1
-      while (i < start + w) {
-        // rightmost minimum for robustness (paper's rule)
-        if (java.lang.Long.compareUnsigned(hashes(i), hashes(minIdx)) <= 0) minIdx = i
-        i += 1
+    val n = hashes.length
+    val deque = new Array[Int](w) // ring buffer of candidate indices
+    var head = 0 // logical positions; index = pos % w
+    var tail = 0 // exclusive
+    val sel = new Array[Long](n - w + 1) // one selection per window, pre-dedup
+    var nSel = 0
+    var i = 0
+    while (i < n) {
+      val v = hashes(i)
+      // evict the front if it fell out of window [i-w+1, i] BEFORE pushing:
+      // keeps the live span <= w-1 pre-push, so the ring never overflows
+      if (tail > head && deque(head % w) <= i - w) head += 1
+      // pop back while back value >= v (equal pops too -> rightmost min)
+      while (tail > head && java.lang.Long.compareUnsigned(hashes(deque((tail - 1) % w)), v) >= 0)
+        tail -= 1
+      deque(tail % w) = i; tail += 1
+      if (i >= w - 1) {
+        val m = hashes(deque(head % w))
+        // consecutive windows usually share their minimum: cheap pre-dedup
+        if (nSel == 0 || sel(nSel - 1) != m) { sel(nSel) = m; nSel += 1 }
       }
-      sel.add(hashes(minIdx))
-      start += 1
+      i += 1
     }
-    val out = new Array[Long](sel.size)
-    val it = sel.iterator()
+    java.util.Arrays.sort(sel, 0, nSel) // signed order, as TreeSet produced
     var j = 0
-    while (it.hasNext) { out(j) = it.next(); j += 1 }
-    out
+    var k = 1
+    while (k < nSel) {
+      if (sel(k) != sel(j)) { j += 1; sel(j) = sel(k) }
+      k += 1
+    }
+    java.util.Arrays.copyOfRange(sel, 0, j + 1)
   }
 
   /** The full fingerprint set of a text. */

@@ -21,16 +21,23 @@ import org.apache.spark.sql.functions._
   * columnar input, still zero shuffles (PlanSpec gates the plan shape).
   *
   * Steps (conservative, order matters):
-  *   1. scheme and host lower-cased (RFC 3986 §6.2.2.1 case normalization)
+  *   1. scheme and host lower-cased (RFC 3986 §6.2.2.1 case normalization);
+  *      userinfo (anything before the last `@` of the authority) is
+  *      case-SENSITIVE per RFC 3986 §3.2.1 and passes through unchanged
   *   2. default port stripped (:80 for http, :443 for https)
   *   3. leading `www.` stripped from the host
   *   4. fragment dropped (never sent to the server)
-  *   5. empty path -> "/"; trailing slashes stripped; then trailing
-  *      `/index.html` / `/index.htm` segments stripped (repeats too);
-  *      an emptied path -> "/". Order matters for idempotence: stripping
-  *      slashes FIRST means `/dir/index.html/` and `/dir/index.html`
-  *      both reach the de-index rule, and the output can never end in a
-  *      slash (unless root) nor in an index segment, so canon∘canon=canon
+  *   5. empty path -> "/"; any trailing run of `/index.html` / `/index.htm`
+  *      segments (each reachable through one OR MORE slashes) plus trailing
+  *      slashes is stripped in ONE anchored pattern; an emptied path -> "/".
+  *      One pattern instead of strip-slashes-then-strip-index because the
+  *      two-step form was not idempotent across a doubled slash
+  *      (`/dir//index.html` -> `/dir/` -> re-canon `/dir`): the single
+  *      anchored pattern — repeated `(/+index\.html?)` groups, then a
+  *      trailing slash-run — eats `//index.html`,
+  *      `/index.html//index.html`, and `/dir/index.html/` alike, so the
+  *      output can never end in a slash (unless root) nor in an index
+  *      segment, and canon∘canon=canon holds
   *   6. tracking query params dropped (utm_*, gclid, fbclid, ref),
   *      remaining params sorted byte-lexicographically, rejoined; an
   *      empty result drops the "?" entirely
@@ -46,21 +53,26 @@ object UrlCanon {
 
   def canonicalUrl(url: Column): Column = {
     val scheme = lower(regexp_extract(url, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
-    val hostport = lower(regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1))
+    val auth = regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
+    // userinfo (through the LAST '@', greedy) is case-sensitive and kept
+    // verbatim; only the host:port tail is lower-cased.
+    val userinfo = regexp_extract(auth, "^(.*@)", 1)
+    val hostport = lower(regexp_replace(auth, "^.*@", ""))
     val dePorted = when(scheme === "http", regexp_replace(hostport, ":80$", ""))
       .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
       .otherwise(hostport)
     val host = regexp_replace(dePorted, "^www\\.", "")
     val rawPath = regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
-    val deSlashed = regexp_replace(rawPath, "/+$", "")
-    val deIndexed = regexp_replace(deSlashed, "(/index\\.html?)+$", "")
+    // One anchored pattern: trailing (slash-run + index segment) repeats,
+    // then trailing slashes — idempotent even across doubled slashes.
+    val deIndexed = regexp_replace(rawPath, "(/+index\\.html?)*/*$", "")
     val path = when(deIndexed === "", lit("/")).otherwise(deIndexed)
     val query = regexp_extract(url, "^[^#?]*\\?([^#]*)", 1)
     val params = array_sort(filter(split(query, "&"),
       p => p =!= "" && !p.rlike(TrackingParam)))
     val qstr = array_join(params, "&")
     when(scheme === "", url) // not scheme://... -> opaque, unchanged
-      .otherwise(concat(scheme, lit("://"), host, path,
+      .otherwise(concat(scheme, lit("://"), userinfo, host, path,
         when(qstr === "", lit("")).otherwise(concat(lit("?"), qstr))))
   }
 
@@ -86,7 +98,9 @@ object UrlCanon {
     * in ONE file next to its Spark twin. */
   def oracleSqlExpr(c: String): String = {
     val scheme = s"lower(regexp_extract($c, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))"
-    val hostport = s"lower(regexp_extract($c, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1))"
+    val auth = s"regexp_extract($c, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)"
+    val userinfo = s"regexp_extract($auth, '^(.*@)', 1)"
+    val hostport = s"lower(regexp_replace($auth, '^.*@', ''))"
     val dePorted =
       s"""CASE WHEN $scheme = 'http' THEN regexp_replace($hostport, ':80$$', '')
          |     WHEN $scheme = 'https' THEN regexp_replace($hostport, ':443$$', '')
@@ -94,7 +108,7 @@ object UrlCanon {
     val host = s"regexp_replace($dePorted, '^www\\.', '')"
     val rawPath = s"regexp_extract($c, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1)"
     val deIndexed =
-      s"regexp_replace(regexp_replace($rawPath, '/+$$', ''), '(/index\\.html?)+$$', '')"
+      s"regexp_replace($rawPath, '(/+index\\.html?)*/*$$', '')"
     val path = s"CASE WHEN $deIndexed = '' THEN '/' ELSE $deIndexed END"
     val query = s"regexp_extract($c, '^[^#?]*\\?([^#]*)', 1)"
     // coalesce: DuckDB's array_to_string over an EMPTY list yields NULL
@@ -103,7 +117,7 @@ object UrlCanon {
       s"""coalesce(array_to_string(list_sort(list_filter(str_split($query, '&'),
          |  p -> p <> '' AND NOT regexp_matches(p, '$TrackingParam'))), '&'), '')""".stripMargin
     s"""CASE WHEN $scheme = '' THEN $c
-       |ELSE $scheme || '://' || $host || $path ||
+       |ELSE $scheme || '://' || $userinfo || $host || $path ||
        |  (CASE WHEN $qstr = '' THEN '' ELSE '?' || $qstr END) END""".stripMargin
   }
 }

@@ -33,11 +33,18 @@ class UrlCanonSpec extends SparkSpec {
     "https://a.b/dir/index.html/" -> "https://a.b/dir",
     "https://a.b/dir//" -> "https://a.b/dir",
     "https://a.b/index.html/index.html" -> "https://a.b/",
+    // index segments reached through DOUBLED slashes (the one-pattern rule:
+    // the old strip-slashes-then-strip-index form left '/dir/' here)
+    "https://a.b/dir//index.html" -> "https://a.b/dir",
+    "https://a.b//index.html" -> "https://a.b/",
+    "https://a.b/index.htm//index.html" -> "https://a.b/",
+    "https://a.b/dir/index.html//index.htm/" -> "https://a.b/dir",
     // fragment dropped, empty query dropped
     "https://a.b/p#sec" -> "https://a.b/p",
     "https://a.b/p?" -> "https://a.b/p",
-    // userinfo is lower-cased with the authority, not parsed further
-    "ftp://User@Host/a" -> "ftp://user@host/a",
+    // userinfo keeps its case (RFC 3986 §3.2.1); only host:port lowers
+    "ftp://User@Host/a" -> "ftp://User@host/a",
+    "https://A:Pw@WWW.Ex.COM:443/a" -> "https://A:Pw@ex.com/a",
     // non-URL input passes through untouched
     "not-a-url" -> "not-a-url",
     "/relative/path?x=1" -> "/relative/path?x=1",
@@ -63,16 +70,18 @@ class UrlCanonSpec extends SparkSpec {
     def pick[T](xs: Seq[T]): T = xs(rng.nextInt(xs.length))
     val urls = (1 to 300).map { _ =>
       val scheme = pick(Seq("http", "https", "HTTP", "HTTPS", "ftp"))
+      val userinfo = pick(Seq("", "", "", "User@", "a:Pw@"))
       val www = pick(Seq("", "www.", "WWW."))
       val host = pick(Seq("a.b", "Example.COM", "HOST7.example"))
       val port = pick(Seq("", ":80", ":443", ":8080"))
       val segs = (0 until rng.nextInt(4)).map(_ => pick(Seq("d", "x9", "Index", "p_q")))
-      val tail = pick(Seq("", "/", "//", "/index.html", "/index.htm", "/index.html/"))
+      val tail = pick(Seq("", "/", "//", "/index.html", "/index.htm", "/index.html/",
+        "//index.html", "/index.htm//index.html", "/index.html//"))
       val params = (0 until rng.nextInt(4)).map(_ =>
         pick(Seq("a=1", "b=2", "utm_source=t", "gclid=z", "ref=r", "refresh=1", "")))
       val query = if (params.isEmpty && rng.nextBoolean()) "" else "?" + params.mkString("&")
       val frag = pick(Seq("", "#f", "#frag/with?q"))
-      s"$scheme://$www$host$port${segs.map("/" + _).mkString}$tail$query$frag"
+      s"$scheme://$userinfo$www$host$port${segs.map("/" + _).mkString}$tail$query$frag"
     }
     val df = urls.toDF("u")
     val once = df.select(UrlCanon.canonicalUrl(col("u")).as("c1"))
