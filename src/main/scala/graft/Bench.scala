@@ -12,15 +12,30 @@ import graft.fixtures.PagesGen
   * (the sandbox stand-in for N- vs 4N-executor runs — no real cluster is
   * available), reporting docs/sec at both levels and
   * efficiency = (throughput@32 / throughput@8) / 4.
+  *
+  * Survivability contract (round-4 lesson: the driver's timeout killed the
+  * run mid-section and recorded NOTHING despite every query having
+  * finished):
+  *  - a wall-clock budget (SPARK_GRAFT_BUDGET_SECS, default 1500) gates
+  *    every OPTIONAL repetition — once elapsed time crosses a section's
+  *    share of the budget, remaining reps are skipped (min-of-fewer reps
+  *    is still a valid estimator by construction);
+  *  - the FULL result JSON is re-emitted under the FINAL sentinel after
+  *    the query section and after EVERY completed scaling rep-round, each
+  *    emission superseding the last (last one wins) — so a kill at ANY
+  *    point strands at most the rep-round in flight, never the artifact;
+  *  - the mandatory skeleton (1 query rep, 1 pipeline rep per level,
+  *    1 sig rep per level) runs regardless of budget: without it there is
+  *    no scaling evidence at all.
   */
 object Bench {
+
+  private val t0Main = System.nanoTime()
+  private def elapsedSecs: Double = (System.nanoTime() - t0Main) / 1e9
 
   private def session(cpus: Int): SparkSession =
     graft.util.LocalSession(cpus, s"graft-bench-$cpus")
 
-  /** One timed full-pipeline run over nUnits synthetic pages (tokensScale=4:
-    * web-page-sized texts so compute dominates fixed per-job overhead) in a
-    * fresh session. A warm-up run absorbs class-load and codegen cost. */
   /** Stage-cache policy for the timed pipeline runs: which stages are
     * lazily checkpointed (SelectiveCacheIO). "*" = all (the default IO). */
   private def benchIO: graft.checkpoint.TableIO = {
@@ -35,6 +50,8 @@ object Bench {
     new graft.checkpoint.SelectiveCacheIO(cached, level)
   }
 
+  /** One timed full-pipeline run over nUnits synthetic pages in a fresh
+    * session. A warm-up run absorbs class-load and codegen cost. */
   private def pipelineRunOnce(spark: SparkSession, nUnits: Long): (Long, Double) = {
     // tokensScale=6 ≈ 4 KB extracted text per page (typical web page).
     // After the bit-sliced SimHash kernel, smaller docs leave local[8]
@@ -52,14 +69,45 @@ object Bench {
     (docs, (System.nanoTime() - t0) / 1e9)
   }
 
-  /** One timed signature-stage run (ST1 only) over pre-materialized distinct
-    * contents: a pure narrow map over the MinHash/SimHash/band kernels — the
-    * dominant cluster-wide cost at 100 TB and the cleanest probe of compute
-    * scaling (no shuffle, no materialization in the timed window). */
-  private def sigRunOnce(spark: SparkSession, nUnits: Long): (Long, Double) = {
+  /** The signature-stage corpus, generated ONCE to /dev/shm parquet and
+    * read per rep session (round-4 lesson: regenerating + materializing
+    * 2M docs inside EVERY rep's fresh session was ~30-70 s of pure setup
+    * per rep — 6x the timed work — and exactly where the driver's timeout
+    * landed). Path is keyed by (units, tokensScale), so an existing
+    * corpus (including one left by a killed earlier run) is reused. */
+  private def ensureSigCorpus(nUnits: Long, tokensScale: Int): String = {
+    val path = s"/dev/shm/graft-bench-sig-$nUnits-t$tokensScale"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))) {
+      val s = session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+      // 64 files: enough read-split granularity for local[32] with
+      // maxPartitionBytes lowered at read time (sigRunOnce).
+      PagesGen.syntheticContents(s, nUnits, tokensScale = tokensScale)
+        .repartition(64).write.mode("overwrite").parquet(path)
+      s.stop()
+    }
+    path
+  }
+
+  private def deleteSigCorpus(path: String): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(path)
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.delete)
+    } catch { case e: Exception => System.err.println(s"[bench] sig corpus cleanup failed: $e") }
+
+  /** One timed signature-stage run (ST1 only) over the pre-materialized
+    * distinct-contents corpus: a pure narrow map over the MinHash/SimHash/
+    * band kernels — the dominant cluster-wide cost at 100 TB and the
+    * cleanest probe of compute scaling (one parquet scan from RAM-backed
+    * /dev/shm feeding whole-stage-codegen'd kernels; no shuffle). */
+  private def sigRunOnce(spark: SparkSession, corpusPath: String): (Long, Double) = {
     import org.apache.spark.sql.functions.{bit_count, col, sum}
-    val contents = PagesGen.syntheticContents(spark, nUnits, tokensScale = 4)
-      .localCheckpoint(true) // materialized before timing
+    // ~2.5 GB compressed across 64 files: lower the split size so the scan
+    // yields ~160 tasks and local[32] is never partition-starved.
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "16m")
+    val contents = spark.read.parquet(corpusPath)
     val docs = contents.count()
     // warm-up (JIT of the kernels)
     Pipeline.signatures(contents.limit(2000), SparkEntry.cfg)
@@ -80,27 +128,29 @@ object Bench {
     // that compute dominates the ~3-4 s serial floor, below the local[32]
     // cache-write bandwidth knee this VM shows at ~200k+ docs (BASELINE.md).
     val scalingUnits = sys.env.getOrElse("SPARK_GRAFT_SCALE_UNITS", "120000").toLong
-    // Signature-stage corpus (independent knob; 1 unit = 1 distinct doc via
+    // Signature-stage corpus (1 unit = 1 distinct doc via
     // PagesGen.syntheticContents): sized so the timed narrow map dominates
-    // the fixed per-job latency. 2M docs after the bit-sliced SimHash
-    // kernel (2x stage throughput): halving the per-doc compute halves the
-    // arithmetic intensity, so the corpus must grow ~5x for the same
-    // overhead-amortization the 400k corpus gave the old kernel.
+    // the fixed per-job latency (2M docs ≈ 15-65 s timed window).
     val sigUnits = sys.env.getOrElse("SPARK_GRAFT_SIG_UNITS", "2000000").toLong
+    val sigTokensScale = sys.env.getOrElse("SPARK_GRAFT_SIG_TOKENS_SCALE", "4").toInt
     val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") == "1"
+    // Wall-clock budget for OPTIONAL work (extra reps). Default 1500 s:
+    // safely under any plausible driver timeout; the mandatory skeleton
+    // plus progressive emission keeps the artifact complete even when a
+    // pathological VM window blows through it.
+    val budgetSecs = sys.env.getOrElse("SPARK_GRAFT_BUDGET_SECS", "1500").toDouble
+    def underShare(share: Double): Boolean = elapsedSecs < budgetSecs * share
 
-    def emit(json: String, preliminary: Boolean = false): Unit = {
+    def emit(json: String): Unit = {
       // Three delivery paths so the driver can machine-parse the result
       // even when a logger swallows or prefixes stdout lines: a
       // sentinel-prefixed copy, a file in the repo root, and — last on
       // stdout, with showSuccess := false suppressing sbt's footer — the
-      // bare JSON line. The bare line prints for the preliminary emission
-      // too: if the (long) scaling section is killed by a harness timeout,
-      // the queries-only JSON is still the final stdout line. The
-      // preliminary emission carries a DISTINCT sentinel so a
-      // first-sentinel-match parser cannot mistake it for the final result.
-      val sentinel = if (preliminary) "GRAFT_BENCH_JSON_PARTIAL" else "GRAFT_BENCH_JSON"
-      println(s"$sentinel $json")
+      // bare JSON line. Every emission is a COMPLETE result for the work
+      // done so far under the one FINAL sentinel; later emissions
+      // supersede earlier ones (the driver reads the last line), so a
+      // kill at any point leaves the newest finished section recorded.
+      println(s"GRAFT_BENCH_JSON $json")
       try {
         java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.json"),
           (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -108,13 +158,15 @@ object Bench {
       println(json)
     }
 
-    // ---- per-query timings FIRST (fast; emitted immediately as a
-    // preliminary result so a harness kill mid-scaling loses nothing).
-    // Interleaved min-of-N (default 3), mirroring the scaling loop: the
-    // sandbox VM has multi-second hypervisor-steal episodes (BASELINE.md),
-    // and a single-shot timing lands whole bursts on whichever queries were
-    // running — min over interleaved repetitions is the noise-robust
-    // estimator of a query's true cost. A failed query is not retried.
+    // ---- per-query timings FIRST (fast; emitted immediately so a harness
+    // kill mid-scaling loses nothing). Interleaved min-of-N (default 3),
+    // mirroring the scaling loop: the sandbox VM has multi-second
+    // hypervisor-steal episodes (BASELINE.md), and a single-shot timing
+    // lands whole bursts on whichever queries were running — min over
+    // interleaved repetitions is the noise-robust estimator of a query's
+    // true cost. A failed query is not retried. Rep rounds beyond the
+    // first are budget-gated (a degraded VM must not eat the scaling
+    // sections' budget on query reps).
     val doQueries = sys.env.getOrElse("SPARK_GRAFT_QUERIES", "1") == "1"
     val queryReps = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "3").toInt
     // Queries whose best time is still >= heavyThreshold after the base reps
@@ -147,11 +199,13 @@ object Bench {
         System.err.println(s"[bench] $name FAILED (rep $rep): ${e.getMessage}")
       }
     }
-    for (rep <- 1 to queryReps; (name, fn) <- names if !failed.contains(name))
+    for (rep <- 1 to queryReps; (name, fn) <- names
+         if !failed.contains(name) && (rep == 1 || underShare(0.25)))
       runQuery(name, fn, rep)
     val heavy = names.filter { case (n, _) =>
       !failed.contains(n) && qBest.getOrElse(n, 0.0) >= heavyThreshold }
-    for (rep <- 1 to heavyReps; (name, fn) <- heavy if !failed.contains(name))
+    for (rep <- 1 to heavyReps; (name, fn) <- heavy
+         if !failed.contains(name) && underShare(0.35))
       runQuery(name, fn, queryReps + rep)
     spark.stop()
     val results = names.map { case (name, _) => name -> qBest.getOrElse(name, 0.0) }
@@ -169,67 +223,82 @@ object Bench {
         "\"" + n + "\":" + qReps.getOrElse(n, Nil).map(s => f"$s%.2f").mkString("[", ",", "]")
       }.mkString(""","query_rep_secs":{""", ",", "}")
     def fullJson(scalingJson: String): String =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"$failedJson$qRepsJson$scalingJson}"""
-    if (doScaling) emit(fullJson(""), preliminary = true) // queries only
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
+      f""","budget_secs":$budgetSecs%.0f,"bench_elapsed_secs":$elapsedSecs%.1f""" +
+      f"""$failedJson$qRepsJson$scalingJson}"""
+    emit(fullJson("")) // queries-only result; superseded by later emissions
 
     // ---- scaling evidence: same job, same input, local[N] then local[4N]
     val levels = sys.env.getOrElse("SPARK_GRAFT_LEVELS", "8,32")
       .split(",").map(_.trim.toInt).toSeq
-    var scalingJson = ""
     if (doScaling) {
-      // 6 interleaved reps per level (was 4): three rounds of A/Bs show the
-      // clean-window efficiency is ~0.6 but a single choppy VM window can
-      // span several adjacent reps; more reps give the per-level min more
-      // independent chances to land in a clean window (~+100 s bench wall).
-      val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "6").toInt
+      val (n0, n1) = (levels.head, levels.last)
       // Interleave levels across repetitions (fresh session each) and take
       // the per-level minimum: the sandbox VM has multi-second noise
       // episodes, and interleaving keeps one episode from biasing a level.
       // ALL rep times are kept and emitted (rep_secs) so a noise episode is
       // visible in the artifact itself, not just in the builder's notes.
-      val repSecs = scala.collection.mutable.Map[Int, List[Double]]().withDefaultValue(Nil)
-      var docs = 0L
-      for (_ <- 1 to reps; n <- levels) {
-        val s = session(n)
-        val (d, sec) = pipelineRunOnce(s, scalingUnits)
-        s.stop()
-        docs = d
-        repSecs(n) = repSecs(n) :+ sec
-      }
-      val best = levels.map(n => n -> repSecs(n).min).toMap
-      val (n0, n1) = (levels.head, levels.last)
-      val (sec0, sec1) = (best(n0), best(n1))
-      val eff = ((docs / sec1) / (docs / sec0)) / (n1.toDouble / n0)
-      val per = levels.map { n =>
-        val rs = repSecs(n).map(s => f"$s%.2f").mkString("[", ",", "]")
-        f""""local${n}":{"sec":${best(n)}%.2f,"docs_per_sec":${docs / best(n)}%.1f,"rep_secs":$rs}""" }.mkString(",")
-
-      // signature-stage (narrow map) scaling: interleaved, min per level.
-      // Separate rep knob: the 2M-doc sig runs are long, and min-of-3
-      // bounds the bench wall while the cheaper pipeline runs keep 6.
+      val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "6").toInt
       val sigReps = sys.env.getOrElse("SPARK_GRAFT_SIG_REPS", "3").toInt
+      val repSecs = scala.collection.mutable.Map[Int, List[Double]]().withDefaultValue(Nil)
       val sigRepSecs = scala.collection.mutable.Map[Int, List[Double]]().withDefaultValue(Nil)
+      var docs = 0L
       var sigDocs = 0L
-      for (_ <- 1 to sigReps; n <- levels) {
-        val s = session(n)
-        val (d, sec) = sigRunOnce(s, sigUnits)
-        s.stop()
-        sigDocs = d
-        sigRepSecs(n) = sigRepSecs(n) :+ sec
+
+      /** Scaling JSON from whatever reps have completed so far (the
+        * emit-after-every-rep-round contract needs this buildable at any
+        * prefix of the loop; the sig block appears once it has data). */
+      def scalingJsonNow(): String = {
+        def section(rs: collection.Map[Int, List[Double]], d: Long): String = {
+          val best = levels.filter(rs(_).nonEmpty).map(n => n -> rs(n).min).toMap
+          val per = levels.filter(best.contains).map { n =>
+            val r = rs(n).map(s => f"$s%.2f").mkString("[", ",", "]")
+            f""""local$n":{"sec":${best(n)}%.2f,"docs_per_sec":${d / best(n)}%.1f,"rep_secs":$r}""" }.mkString(",")
+          val eff =
+            if (best.contains(n0) && best.contains(n1))
+              f""","efficiency_${n0}_to_${n1}":${((d / best(n1)) / (d / best(n0))) / (n1.toDouble / n0)}%.3f,""" +
+              f""""throughput_docs_per_sec":{"local$n0":${d / best(n0)}%.1f,"local$n1":${d / best(n1)}%.1f}"""
+            else ""
+          s""""docs":$d,$per$eff"""
+        }
+        val sig =
+          if (sigRepSecs.values.forall(_.isEmpty)) ""
+          else s""","sig_stage":{${section(sigRepSecs, sigDocs)}}"""
+        s""","scaling":{${section(repSecs, docs)}$sig}"""
       }
-      val sigBest = levels.map(n => n -> sigRepSecs(n).min).toMap
-      val sigEff = ((sigDocs / sigBest(n1)) / (sigDocs / sigBest(n0))) / (n1.toDouble / n0)
-      val sigPer = levels.map { n =>
-        val rs = sigRepSecs(n).map(s => f"$s%.2f").mkString("[", ",", "]")
-        f""""local${n}":{"sec":${sigBest(n)}%.2f,"docs_per_sec":${sigDocs / sigBest(n)}%.1f,"rep_secs":$rs}""" }.mkString(",")
 
-      scalingJson =
-        f""","scaling":{"docs":$docs,$per,"efficiency_${n0}_to_${n1}":$eff%.3f,""" +
-        f""""throughput_docs_per_sec":{"local$n0":${docs / sec0}%.1f,"local$n1":${docs / sec1}%.1f},""" +
-        f""""sig_stage":{"docs":$sigDocs,$sigPer,"efficiency_${n0}_to_${n1}":$sigEff%.3f,""" +
-        f""""throughput_docs_per_sec":{"local$n0":${sigDocs / sigBest(n0)}%.1f,"local$n1":${sigDocs / sigBest(n1)}%.1f}}}"""
+      // Pipeline scaling: rep-round 1 is mandatory (the north-rule
+      // evidence); rounds 2..reps run only while under 60% of budget.
+      // Emit after every completed round — a kill strands one round max.
+      for (rep <- 1 to reps if rep == 1 || underShare(0.60)) {
+        for (n <- levels) {
+          val s = session(n)
+          val (d, sec) = pipelineRunOnce(s, scalingUnits)
+          s.stop()
+          docs = d
+          repSecs(n) = repSecs(n) :+ sec
+        }
+        emit(fullJson(scalingJsonNow()))
+      }
+
+      // Signature-stage (narrow map) scaling over the pre-materialized
+      // corpus: round 1 mandatory, extra rounds while under 90% of budget.
+      val corpus = ensureSigCorpus(sigUnits, sigTokensScale)
+      try {
+        for (rep <- 1 to sigReps if rep == 1 || underShare(0.90)) {
+          for (n <- levels) {
+            val s = session(n)
+            val (d, sec) = sigRunOnce(s, corpus)
+            s.stop()
+            sigDocs = d
+            sigRepSecs(n) = sigRepSecs(n) :+ sec
+          }
+          emit(fullJson(scalingJsonNow()))
+        }
+      } finally {
+        if (sys.env.getOrElse("SPARK_GRAFT_KEEP_SIG_CORPUS", "0") != "1")
+          deleteSigCorpus(corpus)
+      }
     }
-
-    emit(fullJson(scalingJson))
   }
 }
