@@ -28,7 +28,14 @@ final case class GraftConfig(
       * chunk keys are stored in the same durable band index. */
     simhashTier: Boolean = false,
     /** Longest-common-substring ratio (lcs_len / min(len_a, len_b)) floor.
-      * 0.0 disables the LCS gate; it is always *computed* per verified pair. */
+      * 0.0 disables the LCS gate; it is always *computed* per verified pair.
+      * The 0.0 default is the measured planted-truth optimum (PipelineSpec
+      * "LCS gate A/B"): every floor in {0.3, 0.5} gains zero precision (the
+      * J-OR-Hamming gate already rejects all planted negatives, and the
+      * prefix-sharing hard negative carries lcs_ratio ~ 0.7 — ABOVE any sane
+      * floor), while 0.5 rejects 25% of true near-dups (block swaps cap the
+      * common run near 1/3; mid-text single-token edits near 1/2). Raise it
+      * only for corpora where reordered content must NOT count as duplicate. */
     minLcsRatio: Double = 0.0,
     /** Analog of --min-size/--max-size (reference options.rs:38-45), in chars. */
     minLen: Int = 8,

@@ -590,6 +590,51 @@ class IncrementalDedupSpec extends SparkSpec {
       .map(_.getLong(0)).toSet == oldIds.map(_ + 2000L).toSet)
   }
 
+  test("canonicalizeUrls: spelled variants bind ONE canonical url across batches") {
+    // The knob lives in the shared extract stage (Pipeline.extract), so
+    // incremental mode inherits it — this gates the re-crawl/latest-binding
+    // semantics when one page arrives under different spellings per batch.
+    val ccfg = cfg.copy(canonicalizeUrls = true)
+    val root = Files.createTempDirectory("graft-inc-canon").toString
+    val dirs = StateDirs(root)
+    val freshText = (1 to 60).map(i => s"fresh$i").mkString(" ")
+    def pageAt(url: String, text: String, ts: Long): (String, Timestamp, Array[Byte], String, String) =
+      (url, new Timestamp(ts), null, text, "en")
+
+    // batch 1: TWO spellings of one page with the SAME content (must be one
+    // observation, with the deterministic max-warc_ts survivor), plus an
+    // unrelated page.
+    IncrementalDedup.processBatch(
+      df(Seq(
+        pageAt("HTTP://Example.COM:80/a//index.html", baseText, 1000L),
+        pageAt("http://www.example.com/a/", baseText, 2000L),
+        pageAt("http://other.com/z", otherText, 1000L))), ccfg, dirs, batchId = 1L)
+    val canon = "http://example.com/a"
+    val m1 = spark.read.parquet(dirs.members)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getTimestamp(3)))
+    assert(m1.map(_._1).toSet == Set(canon, "http://other.com/z"),
+      "state must hold canonical spellings only")
+    assert(m1.count(_._1 == canon) == 1,
+      "k spellings of one (url, content) must be ONE member observation")
+    assert(m1.find(_._1 == canon).get._3 == new Timestamp(2000L),
+      "survivor among collapsed spellings must be the max-warc_ts one")
+    val c1 = spark.read.parquet(dirs.clusters).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(c1.keySet == Set(canon, "http://other.com/z"))
+
+    // batch 2: a THIRD spelling re-crawls the page with NEW content at a
+    // later warc_ts — the canonical url must re-bind to the new node.
+    IncrementalDedup.processBatch(
+      df(Seq(pageAt("http://example.com/a?utm_source=feed", freshText, 3000L))),
+      ccfg, dirs, batchId = 2L)
+    val c2 = spark.read.parquet(dirs.clusters).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(c2.keySet == Set(canon, "http://other.com/z"),
+      "re-crawl under a new spelling must not mint a second url row")
+    assert(c2(canon)._1 != c1(canon)._1,
+      "latest binding must move the canonical url to the re-crawled content")
+  }
+
   test("streaming query end-to-end via MemoryStream + AvailableNow") {
     val root = Files.createTempDirectory("graft-inc3").toString
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -117,6 +117,70 @@ class PipelineSpec extends SparkSpec {
     assert(passed.forall(r => r.getAs[Double]("jaccard") >= 0.7))
   }
 
+  test("LCS gate A/B (minLcsRatio 0/0.3/0.5): floors lose recall, gain no precision") {
+    // Justifies the minLcsRatio = 0.0 default (Model.scala): lcs_ratio is
+    // computed per verified pair, so alternate floors are evaluated offline
+    // from ONE pipeline run by re-deriving the pass rule
+    // (J >= minJaccard OR hamming <= maxHamming) AND lcs >= floor.
+    val urlToNode = Pipeline.extract(pages, cfg).select("url", "node_id")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def idPair(a: String, b: String): Option[(Long, Long)] =
+      for { x <- urlToNode.get(a); y <- urlToNode.get(b) if x != y }
+        yield (math.min(x, y), math.max(x, y))
+    def unitOf(url: String): Long =
+      "/u(\\d+)/".r.findFirstMatchIn(url).get.group(1).toLong
+    val nearTruth = truth.filter(t => t._3 == "near" && !t._5)
+    val nearPairs = nearTruth.flatMap(t => idPair(t._1, t._2)).toSet
+    val blockSwapPairs = nearTruth.filter(t => unitOf(t._1) % 50 == 7)
+      .flatMap(t => idPair(t._1, t._2)).toSet
+    val negPairs = truth.filter(_._3 == "negative").flatMap(t => idPair(t._1, t._2)).toSet
+    assert(nearPairs.nonEmpty && blockSwapPairs.nonEmpty && negPairs.nonEmpty)
+
+    val vrows = result.verified.collect().map { r =>
+      val a = r.getAs[Long]("id_a"); val b = r.getAs[Long]("id_b")
+      (math.min(a, b), math.max(a, b), r.getAs[Double]("jaccard"),
+        r.getAs[Int]("hamming"), r.getAs[Double]("lcs_ratio"))
+    }
+    def passedAt(minL: Double): Set[(Long, Long)] = vrows.collect {
+      case (a, b, j, h, l)
+        if (j >= cfg.minJaccard || h <= cfg.maxHamming) && l >= minL => (a, b)
+    }.toSet
+    val recalls = Seq(0.0, 0.3, 0.5).map { floor =>
+      val p = passedAt(floor)
+      val rec = nearPairs.count(p.contains).toDouble / nearPairs.size
+      val fp = negPairs.count(p.contains)
+      info(f"minLcsRatio=$floor%.1f: pair recall=$rec%.4f, planted negatives passed=$fp")
+      // NO floor buys precision: the J-OR-Hamming gate already rejects
+      // every planted negative that reaches verify.
+      assert(fp == 0, s"negative pair passed verify at floor $floor")
+      floor -> rec
+    }.toMap
+    assert(recalls(0.0) >= 0.99, s"recall at floor 0.0 = ${recalls(0.0)}")
+    // A 0.5 floor rejects block-swap near-dups ([A B C] -> [B A C] keeps
+    // J ~ 0.95 but caps the longest common RUN near 1/3 of the text).
+    assert(recalls(0.5) < recalls(0.0),
+      "0.5 floor should reject block-swap truth pairs")
+    val rejectedAt05 = nearPairs.diff(passedAt(0.5))
+    assert(rejectedAt05.intersect(blockSwapPairs).nonEmpty,
+      "the 0.5 floor's victims must include block-swap plants")
+    // (measured: it also rejects single-token-REPLACEMENT near-dups whose
+    // edit lands mid-text — the longest common run is then ~half the doc —
+    // so a 0.5 floor harms even the most vanilla edit-distance duplicates)
+    // ...and a floor cannot reject the planted hard NEGATIVE either: its
+    // shared 70% prefix IS one long common substring (lcs_ratio ~ 0.7), so
+    // raising the floor only ever costs recall on reordered near-dups.
+    val hardNegTexts = pages
+      .filter(col("url").rlike("/u(\\d+)/"))
+      .select("url", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .filter { case (u, _) => unitOf(u) % 50 == 8 }
+      .groupBy { case (u, _) => unitOf(u) }.values.head.map(_._2)
+    assert(hardNegTexts.length == 2)
+    val hnLcs = graft.verify.Lcs.lcsRatio(hardNegTexts(0), hardNegTexts(1))
+    info(f"hard-negative lcs_ratio = $hnLcs%.3f")
+    assert(hnLcs >= 0.5, "hard negative's prefix-share must exceed any sane floor")
+  }
+
   test("fully-exact suppression flag (F6) hides exact-only clusters") {
     val noExact = Pipeline.run(spark, pages, cfg.copy(showFullyExact = false))
     val kept = noExact.report.select("n_exact_subgroups").distinct()
