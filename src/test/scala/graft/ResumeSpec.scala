@@ -158,4 +158,19 @@ class ResumeSpec extends SparkSpec {
     val r2 = Pipeline.run(spark, pages, cfg2, io2)
     assert(r2.metrics.forall(_.stage.nonEmpty)) // recomputed fine
   }
+
+  test("IcebergIO fail-fasts in the jar-less sandbox (runtime guard, SURVEY §7.4)") {
+    // The thin Iceberg impl compiles against plain Spark API; the sandbox
+    // has no iceberg-spark-runtime jar, so the guard must reject use with
+    // the documented message instead of failing deep inside a format lookup.
+    assert(!graft.checkpoint.IcebergIO.available, "sandbox unexpectedly has Iceberg")
+    val io = new graft.checkpoint.IcebergIO("cat", "graft", cfg.configHash)
+    val e = intercept[IllegalStateException] {
+      io.commit(PagesGen.pages(spark, PagesGen.Spec(nUnits = 1)), "st0_extracted")
+    }
+    assert(e.getMessage.contains("iceberg-spark-runtime"))
+    assert(intercept[IllegalStateException] {
+      io.load(spark, "st0_extracted")
+    }.getMessage.contains("ParquetSnapshotIO"))
+  }
 }
