@@ -146,6 +146,27 @@ object SparkEntry {
         .orderBy("cluster_key", "url")
     }),
 
+    // ---- the NESTED reference-parity report (Pipeline.reportNested — the
+    // DuplicateGroup JSON shape: outer array = exact subgroups, inner =
+    // urls of byte-identical text), hash-checked. The nested arrays are
+    // rendered deterministically (inner url lists are already sorted by
+    // reportNested; comma-join them, then semicolon-join the subgroups) so
+    // DuckDB rebuilds the exact serialization with ordered string_agg —
+    // valid because every url char sorts above ',', making the rendered-
+    // string order equal to reportNested's array order. Same maxHamming=-1
+    // regime as pipeline_membership; keyed by min(url) per cluster.
+    "report_nested" -> ((s, dir) => {
+      val r = Pipeline.run(s, PagesGen.fromDocuments(s, dir), cfg.copy(maxHamming = -1))
+      val key = r.clusters.groupBy("cluster_id").agg(min(col("url")).as("cluster_key"))
+      Pipeline.reportNested(r.clusters).join(key, "cluster_id")
+        .select(
+          col("cluster_key"),
+          array_join(transform(col("duplicates"), a => array_join(a, ",")), ";")
+            .as("duplicates"),
+          col("redundant_bytes_ub").as("redundant_bytes"))
+        .orderBy("cluster_key")
+    }),
+
     // ---- standalone SimHash tier (pigeonhole chunk banding), hash-checked
     // against planted structure: the corpus is every document (node 2d)
     // plus, for doc_id % 7 == 3, an identical copy (node 2d+1). Identical
@@ -731,6 +752,21 @@ object SparkEntry {
         |FROM m JOIN cl ON m.root_text = cl.root_text
         |       JOIN canon ON m.root_text = canon.root_text
         |ORDER BY cluster_key, url""".stripMargin,
+    "report_nested" ->
+      s"""$neardupClosureCte, sub AS (
+        |  SELECT root_text, text, string_agg(url, ',' ORDER BY url) AS sub_urls,
+        |         count(*) AS sub_count, strlen(text) AS sub_bytes
+        |  FROM m GROUP BY root_text, text
+        |), cl AS (
+        |  SELECT root_text, min(url) AS cluster_key
+        |  FROM m GROUP BY root_text HAVING count(*) >= 2
+        |)
+        |SELECT cl.cluster_key,
+        |       string_agg(sub.sub_urls, ';' ORDER BY sub.sub_urls) AS duplicates,
+        |       CAST(sum(sub.sub_bytes * sub.sub_count) - max(sub.sub_bytes) AS BIGINT) AS redundant_bytes
+        |FROM sub JOIN cl ON sub.root_text = cl.root_text
+        |GROUP BY cl.cluster_key
+        |ORDER BY cluster_key""".stripMargin,
     "winnow_grams" ->
       """WITH g AS (
         |  SELECT doc_id,
