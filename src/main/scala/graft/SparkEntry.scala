@@ -291,7 +291,10 @@ object SparkEntry {
     // window selection algorithm over md5-based gram hashes (the one hash
     // both engines share), builtin higher-order functions only — so the
     // winnowing logic itself gets a DuckDB oracle on real document texts,
-    // twinning the rolling-hash fast path above.
+    // twinning the rolling-hash fast path above. Deliberately the bench's
+    // slowest query (~5 s at sf0.1): O(n*w) HOF slices + one md5 PER GRAM
+    // is the price of ANSI expressibility — it is an oracle twin, not a
+    // production path; the O(n) deque kernel above is what ships.
     "winnow_grams" -> ((s, dir) =>
       docs(s, dir)
         .select(col("doc_id"),
