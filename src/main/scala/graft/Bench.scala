@@ -267,10 +267,7 @@ object Bench {
         s""","scaling":{${section(repSecs, docs)}$sig}"""
       }
 
-      // Pipeline scaling: rep-round 1 is mandatory (the north-rule
-      // evidence); rounds 2..reps run only while under 60% of budget.
-      // Emit after every completed round — a kill strands one round max.
-      for (rep <- 1 to reps if rep == 1 || underShare(0.60)) {
+      def pipelineRound(): Unit = {
         for (n <- levels) {
           val s = session(n)
           val (d, sec) = pipelineRunOnce(s, scalingUnits)
@@ -280,21 +277,32 @@ object Bench {
         }
         emit(fullJson(scalingJsonNow()))
       }
+      def sigRound(corpus: String): Unit = {
+        for (n <- levels) {
+          val s = session(n)
+          val (d, sec) = sigRunOnce(s, corpus)
+          s.stop()
+          sigDocs = d
+          sigRepSecs(n) = sigRepSecs(n) :+ sec
+        }
+        emit(fullJson(scalingJsonNow()))
+      }
 
-      // Signature-stage (narrow map) scaling over the pre-materialized
-      // corpus: round 1 mandatory, extra rounds while under 90% of budget.
+      // MANDATORY SKELETON FIRST: one pipeline round, then one sig round —
+      // before ANY optional repetition. A driver timeout that lands during
+      // the extras then still leaves BOTH scaling sections populated in the
+      // last emission (round-4 lesson's second half: the old order ran all
+      // pipeline extras before the first sig rep, so a kill in the extras
+      // stranded the sig section with zero data).
+      pipelineRound()
       val corpus = ensureSigCorpus(sigUnits, sigTokensScale)
       try {
-        for (rep <- 1 to sigReps if rep == 1 || underShare(0.90)) {
-          for (n <- levels) {
-            val s = session(n)
-            val (d, sec) = sigRunOnce(s, corpus)
-            s.stop()
-            sigDocs = d
-            sigRepSecs(n) = sigRepSecs(n) :+ sec
-          }
-          emit(fullJson(scalingJsonNow()))
-        }
+        sigRound(corpus)
+        // Optional extras, budget-gated; emit after every completed round —
+        // a kill strands one round max. Pipeline extras first (the noisier
+        // estimator needs the reps more), sig extras with the rest.
+        for (rep <- 2 to reps if underShare(0.60)) pipelineRound()
+        for (rep <- 2 to sigReps if underShare(0.90)) sigRound(corpus)
       } finally {
         if (sys.env.getOrElse("SPARK_GRAFT_KEEP_SIG_CORPUS", "0") != "1")
           deleteSigCorpus(corpus)
