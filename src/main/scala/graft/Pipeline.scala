@@ -190,32 +190,38 @@ object Pipeline {
     * the SimHash chunk tier (`simhashPairs`). */
   private def bandedPairs(bands: DataFrame, cfg: GraftConfig): Candidates = {
     // Hot-band census (one partial-agg shuffle), kept distributed. Lazily
-    // checkpointed: the pair job materializes it once for both joins below,
+    // checkpointed: the pair job materializes it once for the join below,
     // and the stats thunk then reads the cached partitions.
     val hotCap = if (cfg.saltHotBands) cfg.hardMaxBandGroup.toLong else cfg.maxBandGroup.toLong
     val hotCounts = bands.groupBy("band_key").count()
       .where(col("count") > cfg.maxBandGroup)
       .localCheckpoint(false)
 
-    // Cold bands pair up whole; hot keys are few relative to the corpus, so
-    // AQE turns this anti-join into a broadcast when it fits (and keeps it a
-    // shuffle join when millions of hot keys don't).
-    val cold = bands.join(hotCounts.select("band_key"), Seq("band_key"), "left_anti")
-    val coldPairs = pairsWithin(
-      cold.groupBy("band_key").agg(collect_list(col("node_id")).as("ids")))
-
-    // Salted repartition of hot (but not over-cap) bands: bucket count
-    // scales with group size so each (band, salt) cell stays <= ~maxBandGroup
-    // members — work O(size * maxBandGroup), not O(size^2).
+    // ONE pass over the band-key table — at web scale it is the largest
+    // intermediate (docs x bands rows), so cold/hot must not fork into two
+    // scans + two groupBys. A left join against the (relatively tiny) hot
+    // census — AQE broadcasts it when it fits, shuffle-joins on band_key
+    // when millions of boilerplate keys don't (and that partitioning then
+    // satisfies the groupBy's (band_key, salt) clustering: no extra
+    // exchange) — classifies every row in place:
+    //  - cold bands (no census row) keep salt 0 and pair up whole;
+    //  - hot bands (maxBandGroup, hotCap] are SALTED into
+    //    ceil(size/maxBandGroup) buckets by xxh64(node_id) so each
+    //    (band, salt) cell stays <= ~maxBandGroup members — work
+    //    O(size * maxBandGroup), not O(size^2), at the cost of partial
+    //    in-band recall (counted honestly in BandStats);
+    //  - over-cap bands (> hotCap) are dropped (boilerplate stop-band).
     val maxGroup = cfg.maxBandGroup.toLong
-    val salted = bands
-      .join(hotCounts.where(col("count") <= hotCap), Seq("band_key"))
-      .withColumn("salt", pmod(xxhash64(col("node_id"), col("band_key")),
-        floor((col("count") + lit(maxGroup - 1)) / lit(maxGroup)).cast("long")))
-    val hotPairs = pairsWithin(
-      salted.groupBy("band_key", "salt").agg(collect_list(col("node_id")).as("ids")))
-
-    val pairs = coldPairs.union(hotPairs).distinct().toDF("id_a", "id_b")
+    val classified = bands
+      .join(hotCounts, Seq("band_key"), "left")
+      .where(col("count").isNull || col("count") <= hotCap)
+      .withColumn("salt",
+        when(col("count").isNull, lit(0L))
+          .otherwise(pmod(xxhash64(col("node_id"), col("band_key")),
+            floor((col("count") + lit(maxGroup - 1)) / lit(maxGroup)).cast("long"))))
+    val pairs = pairsWithin(
+      classified.groupBy("band_key", "salt").agg(collect_list(col("node_id")).as("ids")))
+      .distinct().toDF("id_a", "id_b")
     val stats = () => {
       val row = hotCounts.agg(
         sum(when(col("count") > hotCap, 1L).otherwise(0L)),
@@ -338,8 +344,16 @@ object Pipeline {
         val sb = shingles(idB, tb)
         val j = MinHasher.jaccardSorted(sa, sb)
         val ham = java.lang.Long.bitCount(sim(idA, sa) ^ sim(idB, sb))
-        val lcs = Lcs.lcsRatio(ta, tb)
-        val passed = (j >= minJ || ham <= maxH) && lcs >= minL
+        // LCS — the most expensive per-pair kernel (suffix-automaton build
+        // over both full texts) — runs only when the cheap clause holds:
+        // the pass rule only ANDs the lcs floor onto J-OR-Hamming, so a
+        // pair the cheap clause rejects is rejected at ANY floor and its
+        // automaton is pure waste. Skipped pairs carry lcs_ratio = NaN
+        // ("not computed"), never a fabricated number — NaN >= floor is
+        // false, so downstream re-scoring at other floors stays correct.
+        val cheap = j >= minJ || ham <= maxH
+        val lcs = if (cheap) Lcs.lcsRatio(ta, tb) else Double.NaN
+        val passed = cheap && lcs >= minL
         VerifiedPair(idA, idB, j, ham, lcs, passed)
       }
     }.toDF()

@@ -28,7 +28,10 @@ final case class GraftConfig(
       * chunk keys are stored in the same durable band index. */
     simhashTier: Boolean = false,
     /** Longest-common-substring ratio (lcs_len / min(len_a, len_b)) floor.
-      * 0.0 disables the LCS gate; it is always *computed* per verified pair.
+      * 0.0 disables the LCS gate; lcs_ratio is computed for every pair that
+      * passes the cheap J-OR-Hamming clause (cheap-rejected pairs skip the
+      * suffix automaton and carry NaN — the floor only ANDs onto the cheap
+      * clause, so their verdict is floor-independent).
       * The 0.0 default is the measured planted-truth optimum (PipelineSpec
       * "LCS gate A/B"): every floor in {0.3, 0.5} gains zero precision (the
       * J-OR-Hamming gate already rejects all planted negatives, and the

@@ -109,7 +109,12 @@ class PipelineSpec extends SparkSpec {
       val j = r.getAs[Double]("jaccard")
       val h = r.getAs[Int]("hamming")
       val l = r.getAs[Double]("lcs_ratio")
-      assert(j >= 0.0 && j <= 1.0); assert(h >= 0 && h <= 64); assert(l >= 0.0 && l <= 1.0)
+      assert(j >= 0.0 && j <= 1.0); assert(h >= 0 && h <= 64)
+      // lcs is computed iff the cheap J-OR-Hamming clause holds (the floor
+      // only ANDs onto it); cheap-rejected pairs carry NaN, not a number.
+      if (j >= cfg.minJaccard || h <= cfg.maxHamming)
+        assert(l >= 0.0 && l <= 1.0, s"computed lcs out of range: $l")
+      else assert(l.isNaN, s"lcs must be NaN for cheap-rejected pairs, got $l")
     }
     // passed pairs dominated by high jaccard
     val passed = rows.filter(_.getAs[Boolean]("passed"))

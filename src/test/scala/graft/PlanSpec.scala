@@ -84,6 +84,27 @@ class PlanSpec extends SparkSpec {
       s"hot-side broadcast hints lost:\n${plan.take(2000)}")
   }
 
+  test("ST2 pairs scan the band-key table once (single-pass cold/hot classify)") {
+    // At web scale the exploded (node_id, band_key) table is the largest
+    // intermediate (docs x bands rows): the cold/hot split must be ONE
+    // left-join classification over ONE scan feeding ONE groupBy — not a
+    // fork into an anti-join branch and a join branch that each rescan and
+    // regroup it. The census subtree is localCheckpoint'd (LogicalRDD), so
+    // exactly one Generate/explode of the band keys may appear in the pair
+    // plan. (range source: a literal Seq could constant-fold.)
+    val sigs = spark.range(0, 200).select(
+      col("id").as("node_id"),
+      array(pmod(col("id"), lit(5L)), pmod(col("id") + 1, lit(7L))).as("band_hashes"))
+    val plan = Pipeline.candidatePairs(sigs, SparkEntry.cfg)
+      .pairs.queryExecution.optimizedPlan.toString
+    val explodes = "Generate explode".r.findAllIn(plan).length
+    assert(explodes == 1,
+      s"expected 1 band-key explode in the pair plan, got $explodes:\n${plan.take(2000)}")
+    val aggs = "Aggregate".r.findAllIn(plan).length
+    assert(aggs <= 2, // collect_list group + (none else); distinct folds into it
+      s"pair plan regroups the band table:\n${plan.take(2000)}")
+  }
+
   test("verify input prunes contents with a semi-join before the wide joins") {
     import spark.implicits._
     // at 100 TB the contents table is the whole corpus text: the plan must
