@@ -92,9 +92,16 @@ object Bench {
     try {
       import scala.jdk.CollectionConverters._
       val p = java.nio.file.Paths.get(path)
-      if (java.nio.file.Files.exists(p))
+      if (java.nio.file.Files.exists(p)) {
+        // _SUCCESS dies FIRST: a kill landing mid-walk must never leave a
+        // partial corpus that still looks committed — ensureSigCorpus
+        // validates on _SUCCESS, and a truncated-but-"valid" corpus
+        // silently changes the sig workload (observed: a killed cleanup
+        // left 1.25M of 2M docs behind a surviving _SUCCESS marker).
+        java.nio.file.Files.deleteIfExists(p.resolve("_SUCCESS"))
         java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
           .iterator().asScala.foreach(java.nio.file.Files.delete)
+      }
     } catch { case e: Exception => System.err.println(s"[bench] sig corpus cleanup failed: $e") }
 
   /** One timed signature-stage run (ST1 only) over the pre-materialized
