@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.checkpoint.{NoCheckpointIO, ParquetSnapshotIO, TableIO}
+import graft.model.GraftConfig
+
+/** spark-submit entrypoint — the north rule's deployment surface
+  * (`spark-submit --class graft.Main graft.jar --input ... --output ...`).
+  *
+  * Thin by design: every pipeline semantic lives in [[Pipeline]]; this main
+  * only (1) parses CLI knobs into a [[GraftConfig]], (2) picks the stage IO
+  * (durable [[ParquetSnapshotIO]] under `--checkpoint`, so a killed run
+  * resumes from its last committed stage — including mid-ST4, per-iteration
+  * CC labels), and (3) writes the four user-facing outputs as distributed
+  * sinks:
+  *
+  *   - `<output>/report`         flat cluster report (parquet)
+  *   - `<output>/canonical_map`  url -> canonical_url pointer table
+  *                               (parquet; the reference's consolidation
+  *                               write-back, consolidation.rs:25-93, as
+  *                               data instead of filesystem mutation)
+  *   - `<output>/reference_json` reference-parity nested DuplicateGroup
+  *                               JSON, one object per line (text)
+  *   - `<output>/metrics.json`   per-stage lineage/metrics rows (driver-
+  *                               written; one small JSON array)
+  *
+  * The session comes from `SparkSession.builder().getOrCreate()` with NO
+  * master/partition overrides: on a cluster, spark-submit flags (master,
+  * executor counts, `spark.sql.shuffle.partitions`) own the deployment
+  * shape; in tests, the pre-created local session is reused.
+  *
+  * Input is either `--input <path>` (parquet path) or `--table <name>`
+  * (any catalog table — e.g. an Iceberg table when the catalog is
+  * configured via spark-submit `--conf spark.sql.catalog...`), with the
+  * BASELINE.json input_hint schema: (url string, warc_ts timestamp,
+  * html binary, text string, lang string).
+  */
+object Main {
+
+  final case class CliArgs(
+      input: Option[String] = None,
+      table: Option[String] = None,
+      output: Option[String] = None,
+      checkpoint: Option[String] = None,
+      cfg: GraftConfig = GraftConfig())
+
+  def parse(argv: Seq[String]): CliArgs = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"$msg\n$usage")
+    @annotation.tailrec
+    def go(rest: List[String], acc: CliArgs): CliArgs = rest match {
+      case Nil => acc
+      case "--input" :: v :: t      => go(t, acc.copy(input = Some(v)))
+      case "--table" :: v :: t      => go(t, acc.copy(table = Some(v)))
+      case "--output" :: v :: t     => go(t, acc.copy(output = Some(v)))
+      case "--checkpoint" :: v :: t => go(t, acc.copy(checkpoint = Some(v)))
+      case "--shingle-k" :: v :: t  => go(t, acc.copy(cfg = acc.cfg.copy(shingleK = v.toInt)))
+      case "--num-perm" :: v :: t   => go(t, acc.copy(cfg = acc.cfg.copy(numPerm = v.toInt)))
+      case "--bands" :: v :: t      => go(t, acc.copy(cfg = acc.cfg.copy(bands = v.toInt)))
+      case "--min-jaccard" :: v :: t => go(t, acc.copy(cfg = acc.cfg.copy(minJaccard = v.toDouble)))
+      case "--max-hamming" :: v :: t => go(t, acc.copy(cfg = acc.cfg.copy(maxHamming = v.toInt)))
+      case "--min-lcs-ratio" :: v :: t => go(t, acc.copy(cfg = acc.cfg.copy(minLcsRatio = v.toDouble)))
+      case "--min-size" :: v :: t   => go(t, acc.copy(cfg = acc.cfg.copy(minLen = v.toInt)))
+      case "--max-size" :: v :: t   => go(t, acc.copy(cfg = acc.cfg.copy(maxLen = v.toInt)))
+      case "--exclude" :: v :: t    => go(t, acc.copy(cfg = acc.cfg.copy(excludeUrlRegex = Some(v))))
+      case "--max-band-group" :: v :: t => go(t, acc.copy(cfg = acc.cfg.copy(maxBandGroup = v.toInt)))
+      case "--canonicalize-urls" :: t => go(t, acc.copy(cfg = acc.cfg.copy(canonicalizeUrls = true)))
+      case "--simhash-tier" :: t    => go(t, acc.copy(cfg = acc.cfg.copy(simhashTier = true)))
+      // reference --show-fully-hardlinked analog, inverted: fully-exact
+      // clusters are SHOWN by default here (the pointer table and report
+      // are data products, not an interactive prompt), suppressible.
+      case "--hide-fully-exact" :: t => go(t, acc.copy(cfg = acc.cfg.copy(showFullyExact = false)))
+      case f :: _ => fail(s"unknown or incomplete flag: $f")
+    }
+    val a = go(argv.toList, CliArgs())
+    if (a.output.isEmpty) fail("--output is required")
+    if (a.input.isEmpty == a.table.isEmpty) fail("exactly one of --input / --table is required")
+    a
+  }
+
+  val usage: String =
+    """usage: spark-submit --class graft.Main graft.jar
+      |  (--input <pages parquet path> | --table <catalog table, e.g. Iceberg>)
+      |  --output <dir> [--checkpoint <dir>]
+      |  [--shingle-k K] [--num-perm N] [--bands B] [--min-jaccard J]
+      |  [--max-hamming H] [--min-lcs-ratio R] [--min-size N] [--max-size N]
+      |  [--exclude <url regex>] [--max-band-group N]
+      |  [--canonicalize-urls] [--simhash-tier] [--hide-fully-exact]""".stripMargin
+
+  def main(argv: Array[String]): Unit = {
+    val args = parse(argv.toIndexedSeq)
+    val spark = SparkSession.builder().appName("graft-dedup").getOrCreate()
+    run(spark, args)
+  }
+
+  /** Session-injected body (tests drive this directly; main wraps it). */
+  def run(spark: SparkSession, args: CliArgs): Unit = {
+    val pages = args.table match {
+      case Some(t) => spark.read.table(t)
+      case None    => spark.read.parquet(args.input.get)
+    }
+    val io: TableIO = args.checkpoint match {
+      case Some(dir) => new ParquetSnapshotIO(dir, args.cfg.configHash)
+      case None      => NoCheckpointIO
+    }
+    val out = args.output.get
+    val result = Pipeline.run(spark, pages, args.cfg, io)
+
+    result.report.write.mode("overwrite").parquet(s"$out/report")
+    Pipeline.canonicalMap(result.clusters)
+      .write.mode("overwrite").parquet(s"$out/canonical_map")
+    Pipeline.referenceJson(result.clusters)
+      .write.mode("overwrite").text(s"$out/reference_json")
+
+    val metrics = result.metrics
+    val metricsJson = metrics.map { m =>
+      s"""{"stage":"${m.stage}","rows_in":${m.rows_in},"rows_out":${m.rows_out},""" +
+        s""""dropped_by_guard":${m.dropped_by_guard},"salted_groups":${m.salted_groups},""" +
+        s""""salted_members":${m.salted_members},"wall_ms":${m.wall_ms},""" +
+        s""""config_hash":"${m.config_hash}","snapshot_id":"${m.snapshot_id}"}"""
+    }.mkString("[\n  ", ",\n  ", "\n]\n")
+    val outPath = new org.apache.hadoop.fs.Path(s"$out/metrics.json")
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(outPath, true)
+    try os.write(metricsJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally os.close()
+
+    val stageSummary = metrics.map(m => s"${m.stage}=${m.rows_out}").mkString(" ")
+    println(s"[graft] done: $stageSummary -> $out")
+  }
+}

@@ -167,6 +167,18 @@ object SparkEntry {
         .orderBy("cluster_key")
     }),
 
+    // ---- S9 consolidation write-back as data, hash-checked: the
+    // url -> canonical_url pointer table (Pipeline.canonicalMap — the
+    // reference's interactive consolidation, consolidation.rs:25-93,
+    // re-expressed as a pure table). Same maxHamming=-1 regime as
+    // pipeline_membership so the DuckDB twin recomputes the transitive
+    // closure and the A7 keeper rule (largest exact subgroup, min-url
+    // tie-break) from scratch; one row per NON-canonical member.
+    "canonical_map" -> ((s, dir) => {
+      val r = Pipeline.run(s, PagesGen.fromDocuments(s, dir), cfg.copy(maxHamming = -1))
+      Pipeline.canonicalMap(r.clusters).orderBy("url")
+    }),
+
     // ---- standalone SimHash tier (pigeonhole chunk banding), hash-checked
     // against planted structure: the corpus is every document (node 2d)
     // plus, for doc_id % 7 == 3, an identical copy (node 2d+1). Identical
@@ -755,6 +767,23 @@ object SparkEntry {
         |FROM m JOIN cl ON m.root_text = cl.root_text
         |       JOIN canon ON m.root_text = canon.root_text
         |ORDER BY cluster_key, url""".stripMargin,
+    "canonical_map" ->
+      s"""$neardupClosureCte, node AS (
+        |  SELECT root_text, text, count(*) AS sub_size, min(url) AS sub_min_url
+        |  FROM m GROUP BY root_text, text
+        |), canon AS (
+        |  SELECT root_text, sub_min_url AS canonical_url FROM (
+        |    SELECT root_text, sub_min_url,
+        |           row_number() OVER (PARTITION BY root_text ORDER BY sub_size DESC, sub_min_url) AS rn
+        |    FROM node) WHERE rn = 1
+        |), cl AS (
+        |  SELECT root_text FROM m GROUP BY root_text HAVING count(*) >= 2
+        |)
+        |SELECT m.url, canon.canonical_url
+        |FROM m JOIN cl ON m.root_text = cl.root_text
+        |       JOIN canon ON m.root_text = canon.root_text
+        |WHERE m.url <> canon.canonical_url
+        |ORDER BY m.url""".stripMargin,
     "report_nested" ->
       s"""$neardupClosureCte, sub AS (
         |  SELECT root_text, text, string_agg(url, ',' ORDER BY url) AS sub_urls,

@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.fixtures.PagesGen
+
+/** The spark-submit entrypoint (graft.Main): CLI parsing, output layout,
+  * and checkpointed re-run over a real (tiny) pages corpus. */
+class MainSpec extends SparkSpec {
+
+  test("parse maps every flag onto GraftConfig") {
+    val a = Main.parse(Seq(
+      "--input", "/in", "--output", "/out", "--checkpoint", "/ck",
+      "--shingle-k", "7", "--num-perm", "64", "--bands", "16",
+      "--min-jaccard", "0.7", "--max-hamming", "5", "--min-lcs-ratio", "0.4",
+      "--min-size", "16", "--max-size", "9999", "--exclude", "\\.pdf$",
+      "--max-band-group", "500", "--canonicalize-urls", "--simhash-tier",
+      "--hide-fully-exact"))
+    a.input shouldBe Some("/in")
+    a.output shouldBe Some("/out")
+    a.checkpoint shouldBe Some("/ck")
+    a.cfg.shingleK shouldBe 7
+    a.cfg.numPerm shouldBe 64
+    a.cfg.bands shouldBe 16
+    a.cfg.minJaccard shouldBe 0.7
+    a.cfg.maxHamming shouldBe 5
+    a.cfg.minLcsRatio shouldBe 0.4
+    a.cfg.minLen shouldBe 16
+    a.cfg.maxLen shouldBe 9999
+    a.cfg.excludeUrlRegex shouldBe Some("\\.pdf$")
+    a.cfg.maxBandGroup shouldBe 500
+    a.cfg.canonicalizeUrls shouldBe true
+    a.cfg.simhashTier shouldBe true
+    a.cfg.showFullyExact shouldBe false
+  }
+
+  test("parse rejects missing output, missing input, and input+table together") {
+    an[IllegalArgumentException] should be thrownBy Main.parse(Seq("--input", "/in"))
+    an[IllegalArgumentException] should be thrownBy Main.parse(Seq("--output", "/out"))
+    an[IllegalArgumentException] should be thrownBy
+      Main.parse(Seq("--input", "/in", "--table", "t", "--output", "/out"))
+    an[IllegalArgumentException] should be thrownBy
+      Main.parse(Seq("--input", "/in", "--output", "/out", "--bogus"))
+  }
+
+  test("end-to-end run writes report, canonical_map, reference_json, metrics; re-run resumes") {
+    val dir = Files.createTempDirectory("graft-main").toString
+    val inPath = s"$dir/pages"
+    PagesGen.pages(spark, PagesGen.Spec(nUnits = 40))
+      .write.mode("overwrite").parquet(inPath)
+
+    val argv = Seq("--input", inPath, "--output", s"$dir/out",
+      "--checkpoint", s"$dir/ck")
+    Main.run(spark, Main.parse(argv))
+
+    val report = spark.read.parquet(s"$dir/out/report")
+    val expected = Pipeline.run(spark,
+      spark.read.parquet(inPath), graft.model.GraftConfig())
+    report.count() shouldBe expected.report.count()
+    report.count() should be > 0L
+
+    // pointer table: one row per non-canonical member of every cluster
+    val cmap = spark.read.parquet(s"$dir/out/canonical_map")
+    cmap.columns.toSeq shouldBe Seq("url", "canonical_url")
+    val nClusters = expected.report.select("cluster_id").distinct().count()
+    cmap.count() shouldBe expected.report.count() - nClusters
+
+    // nested reference-parity JSON: one object per cluster, all parseable
+    import spark.implicits._
+    val jsonLines = spark.read.text(s"$dir/out/reference_json").as[String].collect()
+    jsonLines.length shouldBe nClusters
+    all(jsonLines) should (startWith("{") and include("\"duplicates\""))
+
+    // per-stage metrics with the committed snapshot ids
+    val metrics = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/out/metrics.json")))
+    Seq("st0_extracted", "st1_signatures", "st2_candidates",
+      "st3_verified", "st4_clusters", "st5_report")
+      .foreach(st => metrics should include(st))
+
+    // second run under the same checkpoint RESUMES (loads every committed
+    // stage — wall_ms 0 markers in metrics) and reproduces the outputs
+    // (fresh output dir: Spark's session-level file index caches the first
+    // run's part files, so overwriting in place would poison the re-read)
+    val argv2 = Seq("--input", inPath, "--output", s"$dir/out2",
+      "--checkpoint", s"$dir/ck")
+    Main.run(spark, Main.parse(argv2))
+    val metrics2 = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/out2/metrics.json")))
+    metrics2 should include("\"wall_ms\":0")
+    spark.read.parquet(s"$dir/out2/report").count() shouldBe report.count()
+  }
+}
