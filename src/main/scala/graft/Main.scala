@@ -90,8 +90,13 @@ object Main {
 
   def main(argv: Array[String]): Unit = {
     val args = parse(argv.toIndexedSeq)
-    val spark = SparkSession.builder().appName("graft-dedup").getOrCreate()
-    run(spark, args)
+    val builder = SparkSession.builder().appName("graft-dedup")
+    // Under spark-submit, spark.master arrives via system properties and
+    // owns the deployment shape; a bare `runMain` (local smoke) gets a
+    // local[*] fallback instead of an IllegalStateException.
+    if (!new org.apache.spark.SparkConf().contains("spark.master"))
+      builder.master("local[*]")
+    run(builder.getOrCreate(), args)
   }
 
   /** Session-injected body (tests drive this directly; main wraps it). */
@@ -126,7 +131,10 @@ object Main {
     try os.write(metricsJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally os.close()
 
-    val stageSummary = metrics.map(m => s"${m.stage}=${m.rows_out}").mkString(" ")
+    // rows_out is -1 under in-memory IO (no durable count); omit it there
+    val stageSummary = metrics
+      .map(m => m.stage + (if (m.rows_out >= 0) s"=${m.rows_out}" else ""))
+      .mkString(" ")
     println(s"[graft] done: $stageSummary -> $out")
   }
 }
