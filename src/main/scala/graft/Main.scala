@@ -105,8 +105,17 @@ object Main {
       case Some(t) => spark.read.table(t)
       case None    => spark.read.parquet(args.input.get)
     }
+    // The snapshot key folds the INPUT LOCATOR into the config hash:
+    // ParquetSnapshotIO reuses any stage committed under the same key, and
+    // a checkpoint dir pointed at a different --input/--table must never
+    // silently serve the previous corpus's stages. (Locator identity, not
+    // content identity — re-running after in-place input mutation is the
+    // operator's call, same as the reference's resume flags.)
+    val inputId = args.table.getOrElse(args.input.get)
+    val snapshotKey = args.cfg.configHash + "-" +
+      java.lang.Long.toHexString(graft.util.Hashing.hashString(inputId, 7L))
     val io: TableIO = args.checkpoint match {
-      case Some(dir) => new ParquetSnapshotIO(dir, args.cfg.configHash)
+      case Some(dir) => new ParquetSnapshotIO(dir, snapshotKey)
       case None      => NoCheckpointIO
     }
     val out = args.output.get

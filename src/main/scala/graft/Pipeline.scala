@@ -506,12 +506,25 @@ object Pipeline {
   /** The `canonical_map` output (the reference's consolidation write-back,
     * /root/reference/src/consolidation.rs:25-93, as a pure pointer table). */
   def canonicalMap(clusters: DataFrame): DataFrame = {
+    // The canonical URL can appear under MORE THAN ONE node_id in a
+    // cluster (under cfg.canonicalizeUrls, two crawls of one page with
+    // different near-dup texts both keep their canonical-url row; each is
+    // flagged canonical because the flag tests url equality) — the rows
+    // are identical on (cluster_id, url), so the dedup is deterministic
+    // and keeps the pointer table at exactly one row per non-canonical
+    // member.
     val canon = clusters.where(col("canonical"))
       .select(col("cluster_id"), col("url").as("canonical_url"))
+      .dropDuplicates("cluster_id")
+    // distinct: a NON-canonical url can likewise sit under two node_ids of
+    // one cluster — identical pointer rows are redundant. A url appearing
+    // in TWO clusters (canonicalized crawls with dissimilar contents) keeps
+    // both rows: the ambiguity is real and must stay visible.
     clusters.select("cluster_id", "url")
       .join(canon, "cluster_id")
       .where(col("url") =!= col("canonical_url"))
       .select("url", "canonical_url")
+      .distinct()
   }
 
   // ------------------------------------------------------------- runner

@@ -149,19 +149,22 @@ object SparkEntry {
     // ---- the NESTED reference-parity report (Pipeline.reportNested — the
     // DuplicateGroup JSON shape: outer array = exact subgroups, inner =
     // urls of byte-identical text), hash-checked. The nested arrays are
-    // rendered deterministically (inner url lists are already sorted by
-    // reportNested; comma-join them, then semicolon-join the subgroups) so
-    // DuckDB rebuilds the exact serialization with ordered string_agg —
-    // valid because every url char sorts above ',', making the rendered-
-    // string order equal to reportNested's array order. Same maxHamming=-1
-    // regime as pipeline_membership; keyed by min(url) per cluster.
+    // rendered deterministically: inner url lists are already sorted by
+    // reportNested; comma-join them, then SORT THE JOINED STRINGS before
+    // semicolon-joining. Sorting the rendered strings (not the arrays)
+    // makes the outer order the exact key DuckDB's
+    // `string_agg(... ORDER BY sub_urls)` uses — no cross-engine premise
+    // about where ',' collates against url characters ('&', '%', '+' all
+    // sort below it, so array order and joined-string order genuinely
+    // differ on such urls). Same maxHamming=-1 regime as
+    // pipeline_membership; keyed by min(url) per cluster.
     "report_nested" -> ((s, dir) => {
       val r = Pipeline.run(s, PagesGen.fromDocuments(s, dir), cfg.copy(maxHamming = -1))
       val key = r.clusters.groupBy("cluster_id").agg(min(col("url")).as("cluster_key"))
       Pipeline.reportNested(r.clusters).join(key, "cluster_id")
         .select(
           col("cluster_key"),
-          array_join(transform(col("duplicates"), a => array_join(a, ",")), ";")
+          array_join(array_sort(transform(col("duplicates"), a => array_join(a, ","))), ";")
             .as("duplicates"),
           col("redundant_bytes_ub").as("redundant_bytes"))
         .orderBy("cluster_key")

@@ -66,19 +66,34 @@ final class IcebergIO(catalog: String, namespace: String, configHash: String)
       .option("snapshot-property.row_count", rows.toString)
       .option("snapshot-property.committed_at_stage", stage)
       .createOrReplace()
+    // The REAL snapshot id of the commit that just landed (latest snapshot
+    // carrying our config hash), so fresh-run lineage records a usable id —
+    // not a placeholder only resumed runs would resolve.
+    val snapshotId = spark.read.format("iceberg").load(s"${tbl(stage)}.snapshots")
+      .where(element_at(col("summary"), "config_hash") === configHash)
+      .orderBy(col("committed_at").desc)
+      .select(col("snapshot_id")).limit(1).collect()
+      .headOption.map(_.getLong(0).toString).getOrElse("iceberg-unknown")
     val committed = spark.read.format("iceberg").load(tbl(stage))
     // Per-partition lineage rows (north-rule requirement, SURVEY §7.6) —
-    // identical derivation to ParquetSnapshotIO.commit, appended so the
-    // metrics table is itself a queryable history across resumes.
-    committed
+    // same derivation as ParquetSnapshotIO.commit, APPENDED (create on
+    // first commit) so the metrics table is a queryable history across
+    // resumes and config changes, keyed by (stage, config_hash,
+    // snapshot_id) per row.
+    val metricRows = committed
       .groupBy(spark_partition_id().as("partition_id"))
       .agg(count(lit(1)).as("rows_out"))
       .withColumn("stage", lit(stage))
       .withColumn("config_hash", lit(configHash))
+      .withColumn("snapshot_id", lit(snapshotId))
       .withColumn("committed_ms", lit(System.currentTimeMillis()))
-      .select("stage", "partition_id", "rows_out", "config_hash", "committed_ms")
-      .writeTo(tbl(s"${stage}_metrics")).createOrReplace()
-    (committed, Manifest("iceberg-current", configHash, rows, stage))
+      .select("stage", "partition_id", "rows_out", "config_hash",
+        "snapshot_id", "committed_ms")
+    val metricsTable = tbl(s"${stage}_metrics")
+    if (spark.catalog.tableExists(metricsTable))
+      metricRows.writeTo(metricsTable).append()
+    else metricRows.writeTo(metricsTable).create()
+    (committed, Manifest(snapshotId, configHash, rows, stage))
   }
 }
 

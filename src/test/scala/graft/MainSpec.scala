@@ -89,5 +89,18 @@ class MainSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$dir/out2/metrics.json")))
     metrics2 should include("\"wall_ms\":0")
     spark.read.parquet(s"$dir/out2/report").count() shouldBe report.count()
+
+    // a DIFFERENT input against the SAME checkpoint dir must NOT resume —
+    // the snapshot key folds in the input locator, so the old corpus's
+    // stages are invisible and every stage recomputes (no wall_ms 0 rows)
+    val inPathB = s"$dir/pagesB"
+    PagesGen.pages(spark, PagesGen.Spec(nUnits = 25, unitOffset = 1000))
+      .write.mode("overwrite").parquet(inPathB)
+    Main.run(spark, Main.parse(Seq("--input", inPathB,
+      "--output", s"$dir/out3", "--checkpoint", s"$dir/ck")))
+    val metrics3 = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/out3/metrics.json")))
+    metrics3 should not include "\"wall_ms\":0"
+    spark.read.parquet(s"$dir/out3/report").count() should not be report.count()
   }
 }

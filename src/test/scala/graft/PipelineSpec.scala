@@ -284,4 +284,30 @@ class PipelineSpec extends SparkSpec {
       s"canonical members wrong: ${urls.mkString(",")}")
     assert(on.map(_.getLong(1)).distinct.length == 1)
   }
+
+  test("canonicalMap: one pointer row per member when the canonical url spans node_ids") {
+    import spark.implicits._
+    // Two crawls of ONE page (spelled differently) with near-dup but
+    // DIFFERENT texts: after canonicalization the canonical url sits under
+    // two node_ids in the same cluster and BOTH its rows carry
+    // canonical=true. The pointer table must still emit exactly one row
+    // per non-canonical member (regression: the canon join side used to
+    // keep both rows, duplicating every pointer).
+    val t1 = (1 to 60).map(i => s"cm$i").mkString(" ")
+    val t2 = t1 + " cmx" // J ~ 57/58 >= 0.8, Hamming ~ 0
+    val rows = Seq(
+      ("http://x.com/a", t1),
+      ("http://WWW.x.com/a", t2), // same canonical url, different content
+      ("http://y.com/b", t1))     // exact copy binding y into the cluster
+      .map { case (u, t) =>
+        (u, new java.sql.Timestamp(0L), null: Array[Byte], t, "en") }
+      .toDF("url", "warc_ts", "html", "text", "lang")
+    val r = Pipeline.run(spark, rows, GraftConfig(canonicalizeUrls = true))
+    assert(r.report.select("cluster_id").distinct().count() == 1)
+    assert(r.report.count() == 3) // x.com/a twice (two contents) + y.com/b
+    val cm = Pipeline.canonicalMap(r.clusters).collect()
+    assert(cm.length == 1, s"expected 1 pointer row, got ${cm.length}: ${cm.mkString(";")}")
+    assert(cm.head.getString(0) == "http://y.com/b")
+    assert(cm.head.getString(1) == "http://x.com/a")
+  }
 }
