@@ -30,8 +30,12 @@ import graft.model.GraftConfig
   * This is the reference's checkpoint-resume design (nullable-checksum
   * columns as "already computed" state, file_db.rs:375-388) turned into
   * streaming state: presence in the signatures table == stage done for that
-  * content, forever. The bounded-channel pipeline of the reference
-  * (main.rs:145-166) maps to micro-batch backpressure.
+  * content, forever. That contract is only sound because the signatures
+  * append runs LAST in every batch (see the append block in processBatch):
+  * foreachBatch is at-least-once, and a replay after a crash must recompute
+  * a content's candidates/edges unless ALL of them are already durable.
+  * The bounded-channel pipeline of the reference (main.rs:145-166) maps to
+  * micro-batch backpressure.
   *
   * Scale notes: per-batch work is O(batch) signatures + an equi-join of the
   * batch's band keys against the state band table (pushdown-friendly
@@ -201,10 +205,21 @@ object IncrementalDedup {
     * content reappears under another url it needs no recompute). A batch
     * that introduces no new (url, node_id) binding is a no-op: state and
     * clusters are left untouched. */
-  def processBatch(batch: DataFrame, cfg: GraftConfig, dirs: StateDirs, batchId: Long = 0L): Unit = {
+  def processBatch(batch: DataFrame, cfg: GraftConfig, dirs: StateDirs, batchId: Long = 0L,
+      crashAfterAppends: Int = Int.MaxValue): Unit = {
     val spark = batch.sparkSession
     ensureStateVersion(spark, cfg, dirs)
     if (batch.isEmpty) return
+    // Test hook mirroring remapNodeIds' crashAfterTables: die before the
+    // (crashAfterAppends+1)-th state append, so the replay-resume contract
+    // (see the append block below) is exercisable at every crash point.
+    var appendsDone = 0
+    def appendState(df: DataFrame, path: String): Unit = {
+      if (appendsDone >= crashAfterAppends)
+        throw new RuntimeException(s"injected crash before state append #${appendsDone + 1}")
+      appendsDone += 1
+      appendParquet(df, path)
+    }
 
     val extracted = Pipeline.extract(batch, cfg).localCheckpoint(false)
     val newContents = Pipeline.distinctContents(extracted)
@@ -214,8 +229,21 @@ object IncrementalDedup {
     // REVERT to previously-seen content — comparing against full member
     // history would wrongly swallow the revert case). No changed bindings
     // means no state row and no cluster assignment can change.
+    //
+    // Reduce to each url's LATEST observation WITHIN the batch first
+    // (deterministic (warc_ts, node_id, n_bytes) struct max — the same
+    // tiebreak shape the cross-batch winner resolution uses). The filter
+    // below compares rows against the CURRENT binding, and an unreduced
+    // row set would drop a same-batch row that MATCHES the binding while
+    // keeping an OLDER same-batch row for the same url — wrongly rebinding
+    // the url to stale content (the within-batch warc_ts tiebreak must run
+    // before, not after, the skip filter).
     val memberRows = extracted
       .select("url", "node_id", "n_bytes", "warc_ts")
+      .groupBy("url")
+      .agg(max(struct(col("warc_ts"), col("node_id"), col("n_bytes"))).as("m"))
+      .select(col("url"), col("m.node_id").as("node_id"),
+        col("m.n_bytes").as("n_bytes"), col("m.warc_ts").as("warc_ts"))
       .withColumn("batch_id", lit(batchId))
     val prevC: DataFrame =
       if (exists(dirs.clusters)) spark.read.parquet(dirs.clusters).localCheckpoint(false)
@@ -305,9 +333,16 @@ object IncrementalDedup {
       if (!retain) exactCrossPairs // empty, (id_a, id_b)
       else Pipeline.verifyPairs(exactCrossPairs, textsAll, cfg)
         .where(col("passed")).select("id_a", "id_b").localCheckpoint(false)
+    // Scale contract (same as dirs.texts above): the stored signature table
+    // grows with the live corpus (~1 KB of minhash per row), so prune it to
+    // this batch's est-pair ENDPOINTS before the wide joins — per-batch
+    // signature traffic is O(est candidates), not O(live corpus).
+    val estIds = estCrossPairs.select(col("id_a").as("node_id"))
+      .union(estCrossPairs.select(col("id_b").as("node_id"))).distinct()
     val allSigs = (if (exists(dirs.signatures))
       spark.read.parquet(dirs.signatures).unionByName(sigs) else sigs)
       .select("node_id", "minhash", "simhash")
+      .join(estIds, Seq("node_id"), "left_semi")
     val estMin = cfg.minJaccard - 2.0 * math.sqrt(cfg.minJaccard * (1 - cfg.minJaccard) / cfg.numPerm)
     val maxHam = cfg.maxHamming
     import spark.implicits._
@@ -331,20 +366,37 @@ object IncrementalDedup {
       .localCheckpoint(false)
     val verified = newVerified.union(crossExactVerified).union(crossEstVerified)
 
-    // ---- append state (+ the per-batch metrics row: the durable counter
-    // that makes the est-only divergence auditable over a stream's life)
-    appendParquet(sigs.drop("text"), dirs.signatures)
-    appendParquet(newBands, dirs.bandIndex)
-    appendParquet(newMemberRows, dirs.members)
-    appendParquet(verified, dirs.edges)
-    if (retain) appendParquet(contents.select("node_id", "text"), dirs.texts)
-    appendParquet(
+    // ---- append state. ORDER IS THE REPLAY-RESUME CONTRACT: foreachBatch
+    // is at-least-once, the appends are not atomic as a group, and replay
+    // derives "contents still to process" from presence in the SIGNATURES
+    // table alone — so signatures must land LAST. A crash anywhere earlier
+    // leaves the content absent from signatures and the replay recomputes
+    // everything (duplicate band/edge/text/member rows from the partial
+    // attempt are harmless: every consumer dedups — CC ignores repeated
+    // edges, the census distincts pairs, texts/members resolve per key —
+    // and compaction merges them durably). Signatures-first would invert
+    // that: a crash between it and the edges append would make the replay
+    // see "already processed" and the batch's candidate edges would be
+    // lost FOREVER (silent recall loss).
+    appendState(newBands, dirs.bandIndex)
+    appendState(verified, dirs.edges)
+    if (retain) appendState(contents.select("node_id", "text"), dirs.texts)
+    appendState(newMemberRows, dirs.members)
+    appendState(sigs, dirs.signatures) // LAST: gates replay recompute
+    // The per-batch metrics row (the durable counter that makes the
+    // est-only divergence auditable over a stream's life) is computed here
+    // but appended AFTER the clusters swap: appended earlier, a crash
+    // before the swap would make the replayed batch append a SECOND row
+    // for the same batch_id. After the swap, the replay exits at the
+    // unchanged-bindings check — at most one row per batch (a crash in the
+    // one instant between swap and append loses the audit row for that
+    // batch; an at-most-once audit beats contradictory duplicates).
+    val metricsRow =
       Seq((batchId, newPairs.count(), crossPairs.count(),
         newVerified.count() + crossExactVerified.count(), crossEstVerified.count(),
         System.currentTimeMillis()))
         .toDF("batch_id", "candidates_new", "candidates_cross",
-          "edges_exact_verified", "edges_est_only", "committed_ms"),
-      dirs.metrics)
+          "edges_exact_verified", "edges_est_only", "committed_ms")
 
     // ---- recluster, bounded to AFFECTED components.
     // Closure argument: an old component's labels can change only through
@@ -355,6 +407,7 @@ object IncrementalDedup {
     // O(affected dup-graph), not O(all accumulated edges).
     if (prevC == null) {
       rebuildClusters(spark, cfg, dirs) // first batch ever / state recovery
+      appendParquet(metricsRow, dirs.metrics) // after the swap, see above
       compactStateIfNeeded(spark, cfg, dirs)
       return
     }
@@ -378,7 +431,12 @@ object IncrementalDedup {
     // never touched directly; their edge-state neighbors must join the
     // affected set or a revert would miss its re-merge. (Brand-new content
     // has only this batch's edges, which are covered by E_new below.)
-    val edgesState = spark.read.parquet(dirs.edges).distinct().localCheckpoint(false)
+    // No distinct: that was a full shuffle of the accumulated edge HISTORY
+    // every batch (O(state), violating the per-batch bound). Every consumer
+    // is duplicate-insensitive — the semi-joins below, and CC (union-find
+    // ignores repeats; the distributed loop distincts its symmetrized set)
+    // — and compaction dedups the table durably.
+    val edgesState = spark.read.parquet(dirs.edges).localCheckpoint(false)
     val newlyLive = winners.select("node_id")
       .join(prevC.select("node_id"), Seq("node_id"), "left_anti")
     val resurrectNeighbors = edgesState
@@ -425,6 +483,7 @@ object IncrementalDedup {
     val untouched = prevC.join(affClusters, Seq("cluster_id"), "left_anti")
       .select("url", "node_id", "cluster_id", "n_bytes", "warc_ts", "batch_id")
     writeClustersAtomic(untouched.unionByName(newAff), dirs)
+    appendParquet(metricsRow, dirs.metrics) // after the swap, see above
     compactStateIfNeeded(spark, cfg, dirs)
   }
 
@@ -530,6 +589,19 @@ object IncrementalDedup {
     Seq(dirs.clusters, dirs.members, dirs.signatures, dirs.bandIndex, dirs.edges,
       dirs.texts)
       .foreach(recoverSwap)
+    // Version gate BEFORE any journal write: the clusters rewrite below
+    // selects v3 columns (warc_ts, batch_id), so a remap over pre-v3 state
+    // would fail AFTER journaling and rewriting five tables — and the
+    // leftover journal blocks ensureStateVersion (hence the migration that
+    // would fix it) from ever running: a wedged state. Refuse up front.
+    val stateExists = Seq(dirs.clusters, dirs.members, dirs.signatures,
+      dirs.bandIndex, dirs.edges, dirs.texts).exists(exists)
+    if (stateExists) {
+      val v = readVersion(dirs)
+      require(v.contains(StateVersion),
+        s"incremental state at ${dirs.root} is schema v${v.getOrElse(1)}, not v$StateVersion " +
+          "- run any processBatch (ensureStateVersion) to migrate BEFORE remapping node ids")
+    }
     val m = mapping.select(col("old_id").cast("long").as("old_id"),
       col("new_id").cast("long").as("new_id")).distinct().localCheckpoint(true)
     val dupOld = m.groupBy("old_id").count().where(col("count") > 1).count()
@@ -661,7 +733,9 @@ object IncrementalDedup {
       if (!exists(p)) 0
       else {
         import scala.jdk.CollectionConverters._
-        Files.list(Paths.get(p)).iterator().asScala.count(Files.isRegularFile(_))
+        val s = Files.list(Paths.get(p))
+        try s.iterator().asScala.count(Files.isRegularFile(_))
+        finally s.close()
       }
     val dirsToWatch = Seq(dirs.members, dirs.edges, dirs.bandIndex, dirs.signatures,
       dirs.metrics, dirs.texts)
@@ -709,11 +783,19 @@ object IncrementalDedup {
     swapDir(tmp, dirs.clusters)
   }
 
+  // NIO streams are CLOSED (try/finally) everywhere below: these helpers
+  // run many times per micro-batch on a driver that lives for the stream's
+  // lifetime, and an unclosed DirectoryStream holds a file descriptor until
+  // GC — a mostly-idle stream (low GC pressure) would creep toward the fd
+  // ulimit. (sorted() drains walk() before iteration, so deleting entries
+  // during the loop is safe — the traversal is already buffered.)
   private def deleteTree(p: java.nio.file.Path): Unit =
     if (Files.exists(p)) {
       import scala.jdk.CollectionConverters._
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder())
         .iterator().asScala.foreach(Files.delete)
+      finally s.close()
     }
 
   /** Crash-safe directory replacement: the current table is renamed ASIDE
@@ -747,9 +829,13 @@ object IncrementalDedup {
     val parent = t.getParent
     if (parent != null && Files.exists(parent)) {
       import scala.jdk.CollectionConverters._
-      Files.list(parent).iterator().asScala
-        .filter(_.getFileName.toString.startsWith(s"${t.getFileName}.tmp-"))
-        .foreach(deleteTree)
+      val s = Files.list(parent)
+      val stale =
+        try s.iterator().asScala
+          .filter(_.getFileName.toString.startsWith(s"${t.getFileName}.tmp-"))
+          .toList
+        finally s.close()
+      stale.foreach(deleteTree)
     }
   }
 

@@ -518,6 +518,85 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(e.getMessage.contains("refusing"))
   }
 
+  test("a same-batch older observation cannot rebind a url past its current binding") {
+    val root = Files.createTempDirectory("graft-inc-winner").toString
+    val dirs = StateDirs(root)
+    IncrementalDedup.processBatch(df(Seq(page("u://r", baseText))), cfg, dirs, batchId = 1L)
+    val boundTo = spark.read.parquet(dirs.clusters)
+      .where(col("url") === "u://r").select("node_id").head().getLong(0)
+
+    // one micro-batch, TWO crawls of u://r: an OLDER one with new content,
+    // a NEWER one re-observing the currently-bound content. The within-
+    // batch warc_ts winner matches the current binding, so the batch is a
+    // no-op — the older row must not sneak past the unchanged-binding
+    // filter and rebind the url to stale content (regression: the filter
+    // used to run per row, BEFORE within-batch winner resolution).
+    val twoCrawls = Seq(
+      ("u://r", new Timestamp(1000L), null: Array[Byte], otherText, "en"),
+      ("u://r", new Timestamp(2000L), null: Array[Byte], baseText, "en"))
+      .toDF("url", "warc_ts", "html", "text", "lang")
+    IncrementalDedup.processBatch(twoCrawls, cfg, dirs, batchId = 2L)
+
+    val after = spark.read.parquet(dirs.clusters)
+      .where(col("url") === "u://r").select("node_id").head().getLong(0)
+    assert(after == boundTo, "latest same-batch observation matches the binding -> no rebind")
+    assert(spark.read.parquet(dirs.members).count() == 1, "no-op batch must not append members")
+  }
+
+  test("crash between state appends replays to the no-crash result (append order contract)") {
+    // control: two batches, no crash — batch 2's near-dup crosses batches
+    val b1 = df(Seq(page("u://a", baseText), page("u://z", otherText)))
+    def b2 = df(Seq(page("u://b", nearText)))
+    def groups(dirs: StateDirs) = spark.read.parquet(dirs.clusters).collect()
+      .groupBy(_.getLong(2)).values.map(_.map(_.getString(0)).toSet).toSet
+    val rootC = Files.createTempDirectory("graft-inc-crash-c").toString
+    val dC = StateDirs(rootC)
+    IncrementalDedup.processBatch(b1, cfg, dC, batchId = 1L)
+    IncrementalDedup.processBatch(b2, cfg, dC, batchId = 2L)
+    val control = groups(dC)
+    assert(control.exists(g => g.contains("u://a") && g.contains("u://b")),
+      "sanity: the cross-batch near-dup pair must co-cluster in the control")
+
+    // kill batch 2 before its (k+1)-th state append (k=0..3: band index,
+    // edges, members, signatures), then REPLAY it — foreachBatch is
+    // at-least-once. Whatever the crash point, the replay must converge to
+    // the control clusters (the signatures append runs LAST precisely so a
+    // replay recomputes anything not yet durable), and the metrics audit
+    // table must hold exactly one row for the replayed batch (it is
+    // appended after the clusters swap).
+    for (k <- 0 to 3) {
+      val root = Files.createTempDirectory(s"graft-inc-crash-$k").toString
+      val dirs = StateDirs(root)
+      IncrementalDedup.processBatch(b1, cfg, dirs, batchId = 1L)
+      val e = intercept[RuntimeException] {
+        IncrementalDedup.processBatch(b2, cfg, dirs, batchId = 2L, crashAfterAppends = k)
+      }
+      assert(e.getMessage.contains("injected crash"))
+      IncrementalDedup.processBatch(b2, cfg, dirs, batchId = 2L)
+      assert(groups(dirs) == control, s"crash point $k: replay must match the no-crash result")
+      assert(spark.read.parquet(dirs.metrics).where(col("batch_id") === 2L).count() == 1,
+        s"crash point $k: exactly one metrics row for the replayed batch")
+    }
+  }
+
+  test("remap refuses pre-v3 state instead of wedging it behind its own journal") {
+    val root = Files.createTempDirectory("graft-remap-v1").toString
+    val dirs = StateDirs(root)
+    // v1-shaped state: members without (warc_ts, batch_id), no version file
+    val extractedV1 = graft.Pipeline.extract(df(Seq(page("u://old", baseText))), cfg)
+    extractedV1.select("url", "node_id", "n_bytes").write.parquet(dirs.members)
+
+    val mapping = Seq((1L, 2L)).toDF("old_id", "new_id")
+    val e = intercept[IllegalArgumentException] {
+      IncrementalDedup.remapNodeIds(spark, dirs, mapping)
+    }
+    assert(e.getMessage.contains("migrate"))
+    // refused BEFORE journaling: the state is untouched and still migrates
+    assert(!Files.exists(java.nio.file.Paths.get(root, "_remap_journal.json")))
+    IncrementalDedup.processBatch(df(Seq(page("u://new", nearText))), cfg, dirs, batchId = 3L)
+    assert(spark.read.parquet(dirs.members).columns.contains("batch_id"))
+  }
+
   test("node-id remap re-keys all state without recompute; bad mappings refused") {
     import org.apache.spark.sql.functions.col
     val root = Files.createTempDirectory("graft-remap").toString
