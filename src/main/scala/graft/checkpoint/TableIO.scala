@@ -77,20 +77,31 @@ final class ParquetSnapshotIO(root: String, configHash: String) extends TableIO 
     * makes their labels unresumable (the pipeline would recompute edges
     * under the new config), so without the sweep every config change would
     * strand one st4_cc/<hash> dir forever. */
+  // SINGLE-WRITER ASSUMPTION (here and in commit()'s snapshot GC): a
+  // checkpoint root belongs to ONE pipeline run at a time. Two concurrent
+  // runs with different configs sharing a root would sweep each other's
+  // live state — use distinct roots for concurrent experiments.
   override def ccDurableDir: Option[String] = {
     val base = stageDir("st4_cc")
     if (Files.exists(base)) {
       import scala.jdk.CollectionConverters._
-      Files.list(base).iterator().asScala
-        .filter(d => Files.isDirectory(d) && d.getFileName.toString != configHash)
-        .foreach { d =>
-          // Exception, not just IOException: lazy Files.walk iteration wraps
-          // fs errors in UncheckedIOException (a RuntimeException). A failed
-          // sweep is never fatal — the next run sweeps again.
-          try Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+      val ls = Files.list(base)
+      val stale =
+        try ls.iterator().asScala
+          .filter(d => Files.isDirectory(d) && d.getFileName.toString != configHash)
+          .toList
+        finally ls.close()
+      stale.foreach { d =>
+        // Exception, not just IOException: lazy Files.walk iteration wraps
+        // fs errors in UncheckedIOException (a RuntimeException). A failed
+        // sweep is never fatal — the next run sweeps again.
+        try {
+          val w = Files.walk(d)
+          try w.sorted(java.util.Comparator.reverseOrder())
             .iterator().asScala.foreach(Files.delete)
-          catch { case _: Exception => () }
-        }
+          finally w.close()
+        } catch { case _: Exception => () }
+      }
     }
     Some(base.resolve(configHash).toString)
   }
@@ -107,16 +118,28 @@ final class ParquetSnapshotIO(root: String, configHash: String) extends TableIO 
       }
   }
 
-  /** Per-partition metrics of a committed snapshot. */
+  /** Per-partition metrics of a committed snapshot (resolved through the
+    * manifest — snapshot ids are unique per commit, see commit()). */
   def metrics(spark: SparkSession, stage: String): Option[DataFrame] = {
-    val p = stageDir(stage).resolve(s"snap-${configHash}_metrics")
-    if (Files.exists(p)) Some(spark.read.parquet(p.toString)) else None
+    val mp = manifestPath(stage)
+    if (!Files.exists(mp)) return None
+    Manifest.fromJson(new String(Files.readAllBytes(mp), StandardCharsets.UTF_8))
+      .map(m => stageDir(stage).resolve(s"${m.snapshotId}_metrics"))
+      .filter(Files.exists(_))
+      .map(p => spark.read.parquet(p.toString))
   }
 
   override def commit(df: DataFrame, stage: String): (DataFrame, Manifest) = {
     val spark = df.sparkSession
     import org.apache.spark.sql.functions._
-    val snapshotId = s"snap-$configHash"
+    // UNIQUE snapshot dir per commit: writing in place under the id the
+    // current manifest references would delete the only durable copy
+    // before the replacement finishes (a crash mid-rewrite would leave the
+    // manifest pointing at a missing or partial dir — exactly the window
+    // the class doc promises cannot exist). Instead: write fresh dir ->
+    // atomically swing the manifest -> GC unreferenced snapshots. At every
+    // instant the manifest references a fully-written snapshot.
+    val snapshotId = s"snap-$configHash-${java.util.UUID.randomUUID().toString.take(8)}"
     val dir = stageDir(stage)
     Files.createDirectories(dir)
     val dataPath = dir.resolve(snapshotId)
@@ -144,7 +167,33 @@ final class ParquetSnapshotIO(root: String, configHash: String) extends TableIO 
     Files.write(tmp, m.toJson.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, manifestPath(stage), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    // GC every snapshot dir the manifest no longer references — superseded
+    // commits AND stale-config leftovers (previously stranded forever; the
+    // same single-writer-per-checkpoint-root assumption the st4_cc sweep
+    // documents). A crash before the swing leaves the new dirs orphaned
+    // and the old manifest intact; a crash mid-GC leaves sweepable dirs —
+    // both healed by the next commit's GC.
+    sweepUnreferenced(dir, keep = Set(snapshotId, s"${snapshotId}_metrics"))
     (spark.read.parquet(dataPath.toString), m)
+  }
+
+  private def sweepUnreferenced(dir: java.nio.file.Path, keep: Set[String]): Unit = {
+    import scala.jdk.CollectionConverters._
+    val ls = Files.list(dir)
+    val stale =
+      try ls.iterator().asScala
+        .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("snap-")
+          && !keep.contains(p.getFileName.toString))
+        .toList
+      finally ls.close()
+    stale.foreach { d =>
+      try {
+        val w = Files.walk(d)
+        try w.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(Files.delete)
+        finally w.close()
+      } catch { case _: Exception => () } // best effort; next commit resweeps
+    }
   }
 }
 

@@ -120,6 +120,19 @@ object ConnectedComponents {
       executed += 1
     }
     lastRunIterations = executed
+    // maxIter is a SAFETY bound, not an answer: min-label propagation moves
+    // a component's minimum one hop per iteration, so a component of
+    // diameter > maxIter would exit here unconverged — silently returning
+    // it would split one real cluster into several (under-merged dedup,
+    // undetectable downstream). Fail loudly instead; dup graphs converge in
+    // 2-4 iterations, so hitting this means the graph shape (e.g. a long
+    // chain of sliding-window near-dups) genuinely needs a larger
+    // cfg.maxCcIterations.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge within maxIter=$maxIter " +
+          "(component diameter exceeds the iteration bound) - raise maxCcIterations; " +
+          "returning partial labels would silently split clusters")
     labels.select($"id", $"label".as("cluster_id"))
   }
 
@@ -157,9 +170,12 @@ object ConnectedComponents {
 
     private def clear(): Unit = {
       import scala.jdk.CollectionConverters._
-      if (Files.exists(root))
-        Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+      if (Files.exists(root)) {
+        val w = Files.walk(root)
+        try w.sorted(java.util.Comparator.reverseOrder())
           .iterator().asScala.foreach(Files.delete)
+        finally w.close() // NIO streams hold an fd until closed
+      }
     }
 
     def commit(labels: DataFrame, iter: Int): DataFrame = {
@@ -177,16 +193,23 @@ object ConnectedComponents {
       // strand that iteration's dir forever, since later commits would only
       // ever delete their own predecessor).
       import scala.jdk.CollectionConverters._
-      Files.list(root).iterator().asScala
-        .filter(d => d.getFileName.toString.startsWith("labels-iter") && d != p)
-        .foreach { d =>
-          // GC failure must never abort a commit that already renamed its
-          // manifest (the iteration IS durable at this point); a dir that
-          // resists deletion is re-swept by the next commit.
-          try Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+      val ls = Files.list(root)
+      val stale =
+        try ls.iterator().asScala
+          .filter(d => d.getFileName.toString.startsWith("labels-iter") && d != p)
+          .toList
+        finally ls.close() // NIO streams hold an fd until closed
+      stale.foreach { d =>
+        // GC failure must never abort a commit that already renamed its
+        // manifest (the iteration IS durable at this point); a dir that
+        // resists deletion is re-swept by the next commit.
+        try {
+          val w = Files.walk(d)
+          try w.sorted(java.util.Comparator.reverseOrder())
             .iterator().asScala.foreach(Files.delete)
-          catch { case _: Exception => () }
-        }
+          finally w.close()
+        } catch { case _: Exception => () }
+      }
       labels.sparkSession.read.parquet(p.toString)
     }
   }

@@ -24,9 +24,14 @@ object EmbeddingKernels {
   }
 
   def dot(a: Array[Double], b: Array[Double]): Double = {
+    // Mismatched dimensions are a DATA error (mixed encoder versions, a
+    // truncated row): a silent prefix-dot would be a plausible-but-wrong
+    // similarity flowing into knn ranks and near-dup verify thresholds.
+    require(a.length == b.length,
+      s"embedding dimension mismatch: ${a.length} vs ${b.length}")
     var s = 0.0
     var i = 0
-    val n = math.min(a.length, b.length)
+    val n = a.length
     while (i < n) { s += a(i) * b(i); i += 1 }
     s
   }

@@ -96,9 +96,10 @@ object Similarity {
       corpus: DataFrame,
       k: Int,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"
+      vecCol: String = "embedding",
+      excludeSelf: Boolean = true
   ): DataFrame =
-    knnImpl(queries, corpus, k, idCol, vecCol, quantized = false)
+    knnImpl(queries, corpus, k, idCol, vecCol, quantized = false, excludeSelf)
 
   /** Exact cosine top-k with quantized ranking: neighbors ranked by
     * round(sim * 1e4) desc then neighbor_id — integer-stable across engines,
@@ -114,12 +115,19 @@ object Similarity {
       corpus: DataFrame,
       k: Int,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"
+      vecCol: String = "embedding",
+      excludeSelf: Boolean = true
   ): DataFrame =
-    knnImpl(queries, corpus, k, idCol, vecCol, quantized = true)
+    knnImpl(queries, corpus, k, idCol, vecCol, quantized = true, excludeSelf)
 
+  /** excludeSelf skips corpus rows whose id EQUALS the query id — correct
+    * only for the self-join case (queries == corpus, the common "neighbors
+    * within one table" use). Pass false when queries and corpus are
+    * DISTINCT tables with overlapping id spaces, or a legitimate top-k
+    * neighbor that merely shares an id would be silently dropped. */
   private def knnImpl(queries: DataFrame, corpus: DataFrame, k: Int,
-      idCol: String, vecCol: String, quantized: Boolean): DataFrame = {
+      idCol: String, vecCol: String, quantized: Boolean,
+      excludeSelf: Boolean = true): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     val cor: Array[(Long, Array[Double])] =
@@ -141,7 +149,7 @@ object Similarity {
           var i = 0
           while (i < c.length) {
             val (nid, nu) = c(i)
-            if (nid != qid) {
+            if (!excludeSelf || nid != qid) {
               val s = EmbeddingKernels.dot(qu, nu)
               val se4 = math.round(s * 1e4)
               h.enqueue((nid, s, se4))
@@ -229,8 +237,12 @@ object Similarity {
     val spark = df.sparkSession
     import spark.implicits._
 
+    // One materialization: the normalize scan otherwise re-runs for the
+    // centroid collect AND both sides of the cell join (3x the dominant
+    // narrow pass).
     val units = withUnit(df.select(col(idCol).as("id"), col(vecCol)), vecCol)
       .select(col("id"), col("unit"))
+      .localCheckpoint(false)
 
     // nlist rows: tiny, collected once and shipped in task closures.
     val centroids: Array[(Long, Array[Double])] = units
@@ -241,24 +253,44 @@ object Similarity {
       .as[(Long, Array[Double])]
       .collect()
 
+    // m == 1 is the per-corpus-row hot path: a single O(nlist) argmax, no
+    // per-row tuple array + O(nlist log nlist) sort.
+    def nearestCell(unit: Array[Double]): Long = {
+      var best = 0
+      var bestD = Double.NegativeInfinity
+      var i = 0
+      while (i < centroids.length) {
+        val d = EmbeddingKernels.dot(unit, centroids(i)._2)
+        if (d > bestD || (d == bestD && centroids(i)._1 < centroids(best)._1)) {
+          best = i; bestD = d
+        }
+        i += 1
+      }
+      centroids(best)._1
+    }
+
     def nearestCells(unit: Array[Double], m: Int): Seq[Long] =
-      centroids
+      if (m == 1) Seq(nearestCell(unit))
+      else centroids
         .map { case (cid, cu) => (cid, EmbeddingKernels.dot(unit, cu)) }
         .sortBy { case (cid, d) => (-d, cid) }
         .take(m).map(_._1).toSeq
 
     val corpus = units.as[(Long, Array[Double])]
-      .map { case (id, u) => (id, u, nearestCells(u, 1).head) }
+      .map { case (id, u) => (id, u, nearestCell(u)) }
       .toDF("neighbor_id", "unit_c", "cell")
 
     val queries = units.as[(Long, Array[Double])]
       .flatMap { case (id, u) => nearestCells(u, nprobe).map(c => (id, u, c)) }
       .toDF("vec_id", "unit_q", "cell")
 
+    // No dedup shuffle: a corpus row lives in exactly ONE cell, so a
+    // (query, corpus) pair can match at most once however many cells the
+    // query probes — with unique input ids the join output is already
+    // pair-distinct (duplicate input ids are the caller's data error).
     val scored = queries.join(corpus, "cell")
       .where(col("vec_id") =!= col("neighbor_id"))
       .withColumn("sim", dotProduct(col("unit_q"), col("unit_c")))
-      .dropDuplicates("vec_id", "neighbor_id")
     simRank(scored, k)
   }
 

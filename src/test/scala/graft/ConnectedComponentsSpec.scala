@@ -86,9 +86,15 @@ class ConnectedComponentsSpec extends SparkSpec {
     val edges = (0L until 30L).map(i => (i, i + 1)).toDF("src", "dst")
     val expected = (0L to 30L).map(_ -> 0L).toMap
 
-    // "interrupted" run: only 10 iterations allowed, state committed per iter
-    ConnectedComponents.run(spark, edges, maxIter = 10,
-      localThreshold = 0L, durableDir = Some(dir))
+    // "interrupted" run: only 10 iterations allowed, state committed per
+    // iter. Exhausting maxIter unconverged FAILS LOUDLY (silently returning
+    // partial labels would split real clusters) — but every completed
+    // iteration is already durable, so the failure loses no progress.
+    val e = intercept[IllegalStateException] {
+      ConnectedComponents.run(spark, edges, maxIter = 10,
+        localThreshold = 0L, durableDir = Some(dir))
+    }
+    assert(e.getMessage.contains("did not converge"))
     assert(ConnectedComponents.lastRunIterations == 10)
 
     // restart: resumes at iteration 11 instead of propagating from scratch

@@ -96,8 +96,13 @@ class ResumeSpec extends SparkSpec {
     val (cands, _) = io.commit(Pipeline.candidatePairs(sigs, ccCfg).pairs, "st2_candidates")
     val (verified, _) = io.commit(Pipeline.verifyPairs(cands, contents, ccCfg), "st3_verified")
     val edges = verified.where(col("passed")).select("id_a", "id_b")
-    graft.cluster.ConnectedComponents.run(spark, edges, maxIter = 1,
-      localThreshold = 0L, durableDir = io.ccDurableDir)
+    // maxIter exhaustion now THROWS (silent partial labels would split
+    // clusters) — but the iteration it ran is already durably committed,
+    // which is exactly the mid-propagation death this test simulates.
+    intercept[IllegalStateException] {
+      graft.cluster.ConnectedComponents.run(spark, edges, maxIter = 1,
+        localThreshold = 0L, durableDir = io.ccDurableDir)
+    }
     assert(graft.cluster.ConnectedComponents.lastRunIterations == 1)
     // how many iterations a from-scratch propagation needs on this graph
     graft.cluster.ConnectedComponents.run(spark, edges, maxIter = 50, localThreshold = 0L)
