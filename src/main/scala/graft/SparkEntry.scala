@@ -805,7 +805,8 @@ object SparkEntry {
     "winnow_grams" ->
       """WITH g AS (
         |  SELECT doc_id,
-        |    CASE WHEN length(text) < 8
+        |    CASE WHEN length(text) = 0 THEN CAST([] AS BIGINT[])
+        |      WHEN length(text) < 8
         |      THEN [CAST(('0x' || substr(md5(text),1,15)) AS BIGINT)]
         |      ELSE [CAST(('0x' || substr(md5(substr(text, i, 8)),1,15)) AS BIGINT)
         |            for i in generate_series(1, length(text)-7)]
@@ -813,7 +814,8 @@ object SparkEntry {
         |  FROM documents
         |), w AS (
         |  SELECT doc_id,
-        |    CASE WHEN len(hs) <= 16 THEN [list_min(hs)]
+        |    CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+        |      WHEN len(hs) <= 16 THEN [list_min(hs)]
         |      ELSE [list_min(hs[j+1:j+16]) for j in generate_series(0, len(hs)-16)]
         |    END AS sel
         |  FROM g

@@ -115,7 +115,14 @@ object ExtractText {
       val close = "</" + name
       var k = from
       while (k < n) {
-        if (s.charAt(k) == '<' && startsWithIgnoreCase(k, close)) {
+        // the tag NAME must end here (next char is '>', whitespace, or
+        // '/'), mirroring the open-tag side's !isLetter guard — otherwise
+        // '</scripted>' would close a <script> element mid-content
+        if (s.charAt(k) == '<' && startsWithIgnoreCase(k, close) && {
+              val after = k + close.length
+              after >= n || s.charAt(after) == '>' ||
+                isAsciiWs(s.charAt(after)) || s.charAt(after) == '/'
+            }) {
           var m = k + close.length
           while (m < n && s.charAt(m) != '>') m += 1
           return math.min(m + 1, n)
@@ -148,6 +155,15 @@ object ExtractText {
         if (semi > i && semi - i <= 12) {
           val body = s.substring(i + 1, semi)
           decodeEntity(body) match {
+            // Decoded ASCII whitespace (&#32; &#10; &#9; &#13;) IS
+            // whitespace: it joins step-5 normalization ('a&#32;&#32;b' ->
+            // 'a b', leading '&#10;' dropped) instead of smuggling literal
+            // spaces/newlines past it — otherwise the ws-token and
+            // shingle tokenizations of one document could diverge. nbsp
+            // (U+00A0) is non-ASCII and deliberately stays content.
+            case Some(str) if str.length == 1 && isAsciiWs(str.charAt(0)) =>
+              pendingSpace = true
+              i = semi + 1
             case Some(str) =>
               // first char goes through emit (pending-space handling);
               // a low surrogate of a supplementary pair appends directly

@@ -37,6 +37,22 @@ case class DotProductExpr(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProductExpr =
     copy(left = l, right = r)
+
+  // SQL-registered (GraftExtensions): wrong-typed arguments must fail
+  // ANALYSIS, not crash eval with a ClassCastException mid-query.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val want = ArrayType(DoubleType, containsNull = false)
+    def ok(dt: DataType) = dt match {
+      case ArrayType(DoubleType, _) => true
+      case _                        => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (${want.catalogString}, ${want.catalogString}), got " +
+          s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  }
 }
 
 /** array<float> -> l2-normalized array<double> (the similarity unit vector,
@@ -60,6 +76,15 @@ case class L2NormalizeExpr(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): L2NormalizeExpr =
     copy(child = newChild)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects ARRAY<FLOAT>, got ${other.catalogString}")
+    }
 }
 
 /** array<float> -> array<long> of sign-LSH band bucket keys (random
@@ -104,6 +129,15 @@ case class EmbeddingBandKeysExpr(child: Expression, bits: Int, bands: Int, seed:
 
   override protected def withNewChildInternal(newChild: Expression): EmbeddingBandKeysExpr =
     copy(child = newChild)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects ARRAY<FLOAT>, got ${other.catalogString}")
+    }
 }
 
 object EmbeddingFunctions {

@@ -30,6 +30,15 @@ case class WinnowFingerprintExpr(child: Expression, k: Int, w: Int)
 
   override protected def withNewChildInternal(newChild: Expression): WinnowFingerprintExpr =
     copy(child = newChild)
+
+  // SQL-registered (GraftExtensions): a wrong-typed argument must fail
+  // ANALYSIS, not crash codegen/eval with a ClassCastException mid-query.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects STRING, got ${child.dataType.catalogString}")
 }
 
 /** text -> 64-bit digest of the winnowing fingerprint set. */
@@ -52,6 +61,13 @@ case class Fingerprint64Expr(child: Expression, k: Int, w: Int)
 
   override protected def withNewChildInternal(newChild: Expression): Fingerprint64Expr =
     copy(child = newChild)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects STRING, got ${child.dataType.catalogString}")
 }
 
 object TextFunctions {

@@ -154,6 +154,13 @@ object MinHasher {
     * band index so identical row-slices in different bands cannot collide
     * into one join key. */
   def bandHashes(sig: Array[Long], bands: Int): Array[Long] = {
+    // Mirror GraftConfig's divisibility contract here too: callers
+    // bypassing the config (direct kernel use) would otherwise silently
+    // drop the trailing sig.length % bands positions from every band —
+    // and bands > sig.length would give rows = 0, making EVERY document
+    // share the identical per-band keys (all-pairs ST2 blowup).
+    require(bands > 0 && sig.length >= bands && sig.length % bands == 0,
+      s"signature length ${sig.length} must be a positive multiple of bands=$bands")
     val rows = sig.length / bands
     val out = new Array[Long](bands)
     var b = 0
@@ -177,8 +184,13 @@ object MinHasher {
     if (union == 0) 1.0 else inter.toDouble / union
   }
 
-  /** MinHash Jaccard estimate (fraction of agreeing signature positions). */
+  /** MinHash Jaccard estimate (fraction of agreeing signature positions).
+    * Signatures must come from the SAME numPerm config: comparing different
+    * lengths is a data error (e.g. state written under an older config),
+    * not a definable estimate. */
   def estimateJaccard(sigA: Array[Long], sigB: Array[Long]): Double = {
+    require(sigA.length == sigB.length && sigA.length > 0,
+      s"signature length mismatch or empty: ${sigA.length} vs ${sigB.length}")
     var agree = 0
     var i = 0
     while (i < sigA.length) { if (sigA(i) == sigB(i)) agree += 1; i += 1 }

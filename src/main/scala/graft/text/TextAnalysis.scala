@@ -25,8 +25,12 @@ object TextAnalysis {
 
   private val CjkPattern = "[\\x{4e00}-\\x{9fff}]"
 
+  // regexp_count, not size(regexp_extract_all(...)): identical integer
+  // semantics, but the extract_all form materializes one UTF8String per
+  // match (per CHARACTER for the per-char classes) purely as GC garbage on
+  // the quality-scoring hot path.
   private def countMatches(c: Column, pattern: String): Column =
-    size(regexp_extract_all(c, lit(pattern), lit(0))).cast("long")
+    regexp_count(c, lit(pattern)).cast("long")
 
   /** Integer division on positive longs (Spark's `/` returns double; the
     * double detour is exact here: quotients of longs this size are >= 1e-6
@@ -69,6 +73,24 @@ object TextAnalysis {
   def bpeTokenCount(text: Column): Column =
     countMatches(text, "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]").as("n_bpe_tokens")
 
+  // The three ratio formulas exist ONCE: qualityFeatures reports them and
+  // qualityPass gates on them, so they can never drift apart (the `quality`
+  // driver query emits features and the gate side by side).
+  private def alphaPermille(text: Column): Column = {
+    val nChars = length(text).cast("long")
+    when(nChars > 0, idiv(countMatches(text, "[A-Za-z]") * 1000L, nChars)).otherwise(0L)
+  }
+  private def stopPermille(text: Column): Column = {
+    val nTok = countMatches(text, "[^ ]+")
+    when(nTok > 0,
+      idiv(countMatches(lower(text), markerPattern(LangMarkers.head._2)) * 1000L, nTok))
+      .otherwise(0L)
+  }
+  private def charsPerTokenE3(text: Column): Column = {
+    val nTok = countMatches(text, "[^ ]+")
+    when(nTok > 0, idiv(length(text).cast("long") * 1000L, nTok)).otherwise(0L)
+  }
+
   /** Quality-scoring feature struct, all integer-valued:
     * counts plus permille ratios (x1000 integer division). */
   def qualityFeatures(text: Column): Seq[Column] = {
@@ -85,9 +107,9 @@ object TextAnalysis {
       nPunct.as("n_punct"),
       nTok.as("n_tokens"),
       nStop.as("n_stop"),
-      when(nChars > 0, idiv(nAlpha * 1000L, nChars)).otherwise(0L).as("alpha_permille"),
-      when(nTok > 0, idiv(nStop * 1000L, nTok)).otherwise(0L).as("stop_permille"),
-      when(nTok > 0, idiv(nChars * 1000L, nTok)).otherwise(0L).as("chars_per_token_e3")
+      alphaPermille(text).as("alpha_permille"),
+      stopPermille(text).as("stop_permille"),
+      charsPerTokenE3(text).as("chars_per_token_e3")
     )
   }
 
@@ -104,12 +126,15 @@ object TextAnalysis {
     * position-independent fingerprint set semantics as
     * [[Fingerprint.winnow]] (ties collapse by value, so the
     * rightmost-vs-leftmost min rule cannot change the selected SET).
-    * Texts shorter than k hash whole; gram counts <= w select one min. */
+    * Texts shorter than k hash whole; gram counts <= w select one min;
+    * EMPTY text selects nothing (kgramHashes('') is empty — without the
+    * guard the twin would emit md5('') where the kernel emits zero rows). */
   def sqlWinnowSelect(text: Column,
       k: Int = Fingerprint.DefaultK, w: Int = Fingerprint.DefaultW): Column = {
     def gramHash(g: Column): Column =
       conv(substring(md5(g), 1, 15), 16, 10).cast("long")
-    val hs = when(length(text) < k, array(gramHash(text)))
+    val hs = when(length(text) === 0, array().cast("array<long>"))
+      .when(length(text) < k, array(gramHash(text)))
       .otherwise(transform(sequence(lit(1), length(text) - lit(k - 1)),
         i => gramHash(text.substr(i, lit(k)))))
     // Let-binding via a 1-element outer transform: `hs` is evaluated ONCE
@@ -118,7 +143,8 @@ object TextAnalysis {
     // inside every window's `slice` — O(grams^2) md5 calls per row
     // (measured: 20+ CPU-minutes on one sf0.1 partition vs seconds here).
     val sel = flatten(transform(array(hs), h =>
-      when(size(h) <= w, array(array_min(h)))
+      when(size(h) === 0, array().cast("array<long>")) // empty text: no min
+        .when(size(h) <= w, array(array_min(h)))
         .otherwise(transform(sequence(lit(0), size(h) - lit(w)),
           j => array_min(slice(h, j + lit(1), lit(w)))))))
     array_sort(array_distinct(sel))
@@ -151,14 +177,9 @@ object TextAnalysis {
     * sane token lengths. Integer thresholds => oracle-safe. */
   def qualityPass(text: Column,
       minChars: Long = 80, minAlphaPermille: Long = 600,
-      minStopPermille: Long = 10, maxCharsPerTokenE3: Long = 20000): Column = {
-    val nChars = length(text).cast("long")
-    val alphaP = when(nChars > 0, idiv(countMatches(text, "[A-Za-z]") * 1000L, nChars)).otherwise(0L)
-    val nTok = countMatches(text, "[^ ]+")
-    val stopP = when(nTok > 0,
-      idiv(countMatches(lower(text), markerPattern(LangMarkers.head._2)) * 1000L, nTok)).otherwise(0L)
-    val cpt = when(nTok > 0, idiv(nChars * 1000L, nTok)).otherwise(0L)
-    (nChars >= minChars) && (alphaP >= minAlphaPermille) &&
-      (stopP >= minStopPermille) && (cpt <= maxCharsPerTokenE3)
-  }
+      minStopPermille: Long = 10, maxCharsPerTokenE3: Long = 20000): Column =
+    (length(text).cast("long") >= minChars) &&
+      (alphaPermille(text) >= minAlphaPermille) &&
+      (stopPermille(text) >= minStopPermille) &&
+      (charsPerTokenE3(text) <= maxCharsPerTokenE3)
 }

@@ -49,6 +49,28 @@ class ExtractTextSpec extends SparkSpec {
     assert(ExtractText("<p>&nbsp;&nbsp;</p>".getBytes(StandardCharsets.UTF_8)) == "  ")
   }
 
+  test("numeric references to ASCII whitespace join normalization, not content") {
+    // &#32;/&#10;/&#9;/&#13; decode to WHITESPACE and must behave exactly
+    // like literal whitespace under step-5 normalization — otherwise
+    // 'a&#32;&#32;b' would carry two real spaces past the collapse and the
+    // ws-token vs shingle tokenizations of one document would diverge
+    assert(ExtractText("<p>a&#32;&#32;b</p>".getBytes(StandardCharsets.UTF_8)) == "a b")
+    assert(ExtractText("<p>&#10;hi</p>".getBytes(StandardCharsets.UTF_8)) == "hi")
+    assert(ExtractText("<p>a&#9;b&#13;c</p>".getBytes(StandardCharsets.UTF_8)) == "a b c")
+    assert(ExtractText("<p>a &#32; b</p>".getBytes(StandardCharsets.UTF_8)) == "a b")
+  }
+
+  test("script close-tag name must end at the tag boundary") {
+    // '</scripted>' is NOT a </script> close tag; '</script >' and
+    // '</script/>' are (name followed by whitespace, '/', or '>')
+    assert(ExtractText("<script>if (x</scripted>) y()</script>rest"
+      .getBytes(StandardCharsets.UTF_8)) == "rest")
+    assert(ExtractText("<script>var x = 1</script >after"
+      .getBytes(StandardCharsets.UTF_8)) == "after")
+    assert(ExtractText("<style>p{}</styles>q{}</style>tail"
+      .getBytes(StandardCharsets.UTF_8)) == "tail")
+  }
+
   test("supplementary-plane numeric entities decode as surrogate pairs") {
     val grin = new String(Character.toChars(0x1f600))
     assert(ExtractText("<p>x &#x1F600; y</p>".getBytes(StandardCharsets.UTF_8)) == s"x $grin y")

@@ -61,6 +61,17 @@ class GoldenJsonSpec extends SparkSpec {
         graft.text.Fingerprint.fingerprint64("the quick brown fox jumps over the lazy dog"))
       assert(math.abs(row.getAs[Double]("d") - 1.0) < 1e-12)
     }
+    // wrong-typed arguments fail ANALYSIS (checkInputDataTypes), not
+    // codegen/eval with a mid-query ClassCastException
+    intercept[org.apache.spark.sql.AnalysisException] {
+      s3.sql("SELECT fingerprint64(42)").head()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      s3.sql("SELECT l2_normalize(array(1.0, 2.0))").head() // double, not float
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      s3.sql("SELECT extract_text('not binary')").head()
+    }
     // the parent session's registry is untouched (session isolation)
     intercept[Exception] { spark.sql("SELECT fingerprint64('x')").head() }
   }
