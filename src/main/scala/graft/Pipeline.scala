@@ -2,7 +2,6 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 import graft.model._
 import graft.functions.GraftFunctions
@@ -50,9 +49,9 @@ object Pipeline {
       metricsFn: () => Seq[StageMetrics]
   ) {
     /** Stage metrics. Evaluated on demand: the ST2 band-guard counters ride
-      * on a lazily-checkpointed census table, so reading them runs one tiny
-      * job over cached partitions instead of forcing a driver sync inside
-      * the pipeline itself (the Amdahl floor the north rule measures). */
+      * on the cached census table, so reading them runs one tiny job over
+      * cached partitions instead of forcing a driver sync inside the
+      * pipeline itself (the Amdahl floor the north rule measures). */
     lazy val metrics: Seq[StageMetrics] = metricsFn()
   }
 
@@ -192,6 +191,15 @@ object Pipeline {
     // Hot-band census (one partial-agg shuffle), kept distributed. Lazily
     // checkpointed: the pair job materializes it once for the join below,
     // and the stats thunk then reads the cached partitions.
+    //
+    // localCheckpoint over cache() is a DELIBERATE trade: it truncates
+    // lineage, so losing an executor's unreplicated census blocks fails the
+    // job instead of recomputing them — but fault tolerance here lives one
+    // level up (Pipeline.run commits every stage durably via TableIO; a
+    // failed ST2 resumes from committed ST1, never from RDD lineage), and
+    // the lineage cut is what keeps the pair plan's CI-gated single-pass
+    // shape (PlanSpec: exactly one band-key explode — a cached census would
+    // re-print its explode subtree inside the pair plan).
     val hotCap = if (cfg.saltHotBands) cfg.hardMaxBandGroup.toLong else cfg.maxBandGroup.toLong
     val hotCounts = bands.groupBy("band_key").count()
       .where(col("count") > cfg.maxBandGroup)
@@ -325,13 +333,37 @@ object Pipeline {
 
     joined.mapPartitions { it =>
       // Per-partition memo: each distinct content is shingled/simhashed once
-      // per partition, not once per pair (the J3 compute-once discipline
-      // applied inside the verify kernel).
-      val shingleMemo = new java.util.HashMap[Long, Array[Long]]()
-      val simMemo = new java.util.HashMap[Long, java.lang.Long]()
+      // per RUN of pairs, not once per pair (the J3 compute-once discipline
+      // applied inside the verify kernel). BOUNDED LRU, not a plain map: an
+      // unbounded memo retains every distinct text's shingle array the task
+      // ever sees — O(partition's distinct contents) heap, an executor OOM
+      // on big candidate sets. The (id_a, salt) repartition delivers runs
+      // of the same id_a, so recency eviction keeps the hit rate while
+      // capping retained memory (~256 MB of Long[] worst case per task).
+      val shingleBudgetLongs = 1L << 25
+      var retainedLongs = 0L
+      val shingleMemo =
+        new java.util.LinkedHashMap[java.lang.Long, Array[Long]](1024, 0.75f, true)
+      val simMemo = new java.util.LinkedHashMap[java.lang.Long, java.lang.Long](1024, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[java.lang.Long, java.lang.Long]): Boolean =
+          size() > (1 << 20) // 1M boxed longs ~ 48 MB cap
+      }
       def shingles(id: Long, t: String): Array[Long] = {
         var s = shingleMemo.get(id)
-        if (s == null) { s = MinHasher.shingleHashes(t, k); shingleMemo.put(id, s) }
+        if (s == null) {
+          s = MinHasher.shingleHashes(t, k)
+          shingleMemo.put(id, s)
+          retainedLongs += s.length
+          // evict eldest (access order) until under budget; the entry just
+          // added is newest and is never reached while anything older lives
+          val evict = shingleMemo.entrySet().iterator()
+          while (retainedLongs > shingleBudgetLongs && shingleMemo.size() > 1) {
+            val old = evict.next()
+            retainedLongs -= old.getValue.length
+            evict.remove()
+          }
+        }
         s
       }
       def sim(id: Long, sh: Array[Long]): Long = {
@@ -439,6 +471,11 @@ object Pipeline {
         count(lit(1)).cast("int").as("n_exact_subgroups"),
         min(struct((-col("sub_size")).as("neg_size"), col("sub_min_url").as("u")))
           .getField("u").as("canonical_url"),
+        // sum - max = bytes reclaimed by keeping ONE copy of the LARGEST
+        // content — the reference's accounting (duplicate_group.rs:51-54),
+        // deliberately independent of WHICH member the A7 keeper rule
+        // designates canonical (largest exact subgroup): the metric sizes
+        // the theoretical reclaim, the keeper picks the representative.
         (sum(col("sub_size") * col("node_bytes")) - max(col("node_bytes")))
           .cast("long").as("redundant_bytes"))
 

@@ -708,7 +708,7 @@ object SparkEntry {
         |)
         |SELECT user_id, CAST(user_id * 1000000 + seq AS BIGINT) AS session_id,
         |       count(*) AS n_events,
-        |       min(event_id) AS first_event_id, max(event_id) AS last_event_id,
+        |       min(event_id) AS min_event_id, max(event_id) AS max_event_id,
         |       CAST(floor(epoch(min(ts))) AS BIGINT) AS start_epoch,
         |       CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS duration_s
         |FROM g GROUP BY user_id, seq ORDER BY user_id, session_id""".stripMargin,

@@ -19,7 +19,16 @@ object EventOps {
     * inter-event gap exceeds `gapMinutes`. Adds:
     *   session_seq  - 1-based session index within the user,
     *   session_id   - deterministic global id (user_id * 1e6 + seq).
-    * Deterministic ordering: (ts, event_id) within user. */
+    * Deterministic ordering: (ts, event_id) within user.
+    *
+    * Documented bounds (shared verbatim with the ANSI oracle):
+    *   - session_id is collision-free only while a user has < 1,000,000
+    *     sessions (and user_id < ~9.2e12); corpora beyond that need a
+    *     composite (user_id, session_seq) key instead of the packed long;
+    *   - the gap compares WHOLE-SECOND epochs (unix_timestamp truncates),
+    *     so sub-second timestamp components do not participate in the
+    *     boundary decision — the second-granularity contract both engines
+    *     implement identically. */
   def sessionize(events: DataFrame, gapMinutes: Int): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     events
@@ -33,14 +42,17 @@ object EventOps {
       .drop("prev_ts", "new_session")
   }
 
-  /** Per-session rollup: bounds and size of each session. */
+  /** Per-session rollup: bounds and size of each session. The event-id
+    * bounds are MIN/MAX ids (named so, like hourlyRollup's) — not the ids
+    * of the temporally first/last events, which differ whenever id
+    * assignment is not time-monotonic. */
   def sessionStats(events: DataFrame, gapMinutes: Int): DataFrame =
     sessionize(events, gapMinutes)
       .groupBy("user_id", "session_id")
       .agg(
         count(lit(1)).as("n_events"),
-        min(col("event_id")).as("first_event_id"),
-        max(col("event_id")).as("last_event_id"),
+        min(col("event_id")).as("min_event_id"),
+        max(col("event_id")).as("max_event_id"),
         unix_timestamp(min(col("ts"))).as("start_epoch"),
         (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts")))).as("duration_s"))
 

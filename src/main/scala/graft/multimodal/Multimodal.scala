@@ -5,7 +5,6 @@ import java.nio.{ByteBuffer, ByteOrder}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.util.Hashing
 
 /** Multimodal-column plumbing for training-data pipelines: image/audio/video
   * as opaque `binary` payloads with typed metadata, processed by typed
@@ -91,6 +90,7 @@ object Multimodal {
   def extractFeatures(assets: Dataset[Asset]): Dataset[AssetFeatures] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions(_.map { a =>
+      val kind = FakeCodec.decodeMeta(a.asset_id, a.payload).kind // decoded ONCE
       val body = FakeCodec.body(a.payload)
       val hist = new Array[Long](16)
       var sum = 0L
@@ -102,7 +102,7 @@ object Multimodal {
         i += 1
       }
       val mean = if (body.length == 0) 0L else sum * 1000L / body.length
-      AssetFeatures(a.asset_id, FakeCodec.decodeMeta(a.asset_id, a.payload).kind, hist, mean)
+      AssetFeatures(a.asset_id, kind, hist, mean)
     })
   }
 
@@ -110,6 +110,12 @@ object Multimodal {
     * interpreted as a width x height byte raster; rewrites the header with
     * the new dims. Real resize = same plumbing + a codec call. */
   def resize(assets: Dataset[Asset], newWidth: Int, newHeight: Int): Dataset[Asset] = {
+    // Driver-side precondition, not an executor task failure: dims must be
+    // positive and the raster must fit an Int (65536x65536 wraps the Int
+    // product to 0 — a silently corrupt empty body under a lying header).
+    require(newWidth > 0 && newHeight > 0 &&
+      newWidth.toLong * newHeight <= Int.MaxValue,
+      s"invalid resize dims ${newWidth}x$newHeight (must be positive, product <= Int.MaxValue)")
     import assets.sparkSession.implicits._
     assets.mapPartitions(_.map { a =>
       val m = FakeCodec.decodeMeta(a.asset_id, a.payload)
@@ -137,6 +143,9 @@ object Multimodal {
   /** Frame-sample stage (video STUB): keeps every `every`-th frame block of
     * the body (frame size = width*height bytes), updating n_frames. */
   def sampleFrames(assets: Dataset[Asset], every: Int): Dataset[Asset] = {
+    // every = 0 would throw 'step cannot be 0' inside executor tasks;
+    // every < 0 would silently rewrite valid videos to 0 frames.
+    require(every > 0, s"sampleFrames step must be positive, got $every")
     import assets.sparkSession.implicits._
     assets.mapPartitions(_.map { a =>
       val m = FakeCodec.decodeMeta(a.asset_id, a.payload)

@@ -28,8 +28,8 @@ class EventOpsSpec extends SparkSpec {
   test("session stats aggregate bounds and durations") {
     val stats = EventOps.sessionStats(events, 30).collect()
       .map(r => r.getAs[Long]("session_id") ->
-        (r.getAs[Long]("n_events"), r.getAs[Long]("first_event_id"),
-          r.getAs[Long]("last_event_id"), r.getAs[Long]("duration_s"))).toMap
+        (r.getAs[Long]("n_events"), r.getAs[Long]("min_event_id"),
+          r.getAs[Long]("max_event_id"), r.getAs[Long]("duration_s"))).toMap
     assert(stats(1000001L) == ((2L, 0L, 1L, 600L)))
     assert(stats(1000002L) == ((2L, 2L, 4L, 60L)))
     assert(stats(2000001L) == ((1L, 3L, 3L, 0L)))
