@@ -141,8 +141,13 @@ object Bench {
     val scalingUnits = sys.env.getOrElse("SPARK_GRAFT_SCALE_UNITS", "120000").toLong
     // Signature-stage corpus (1 unit = 1 distinct doc via
     // PagesGen.syntheticContents): sized so the timed narrow map dominates
-    // the fixed per-job latency (2M docs ≈ 15-65 s timed window).
-    val sigUnits = sys.env.getOrElse("SPARK_GRAFT_SIG_UNITS", "2000000").toLong
+    // the fixed per-job latency. 1M docs ≈ 10 s timed at local[32] and
+    // ~120 s at local[2] — halved from the 2-level era's 2M when local[2]
+    // joined the default levels (attempt 13: a 240 s local[2] sig rep plus
+    // corpus gen pushed the skeleton past the pipeline-extras gate, leaving
+    // the pipeline pair a single-rep estimate). The kernel is a narrow
+    // per-doc map, so docs/s is size-invariant and stays comparable.
+    val sigUnits = sys.env.getOrElse("SPARK_GRAFT_SIG_UNITS", "1000000").toLong
     val sigTokensScale = sys.env.getOrElse("SPARK_GRAFT_SIG_TOKENS_SCALE", "4").toInt
     val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") == "1"
     // Wall-clock budget for OPTIONAL work (extra reps). Default 1500 s:
@@ -332,7 +337,7 @@ object Bench {
         // Optional extras, budget-gated; emit after every completed round —
         // a kill strands one round max. Pipeline extras first (the noisier
         // estimator needs the reps more), sig extras with the rest.
-        for (rep <- 2 to reps if underShare(0.60)) pipelineRound()
+        for (rep <- 2 to reps if underShare(0.65)) pipelineRound()
         for (rep <- 2 to sigReps if underShare(0.90)) sigRound(corpus)
       } finally {
         if (sys.env.getOrElse("SPARK_GRAFT_KEEP_SIG_CORPUS", "0") != "1")
