@@ -2,6 +2,9 @@
 # spark-submit entry point for the graft pipeline (north-rule run mode).
 #
 # Usage:
+#   bin/spark-submit-pipeline.sh run --input <pages.parquet> --output <dir> [...]
+#                                                 # production pipeline (graft.Main;
+#                                                 #  all graft.Main flags pass through)
 #   bin/spark-submit-pipeline.sh bench            # Bench JSON (scaling + queries)
 #   bin/spark-submit-pipeline.sh verify SF OUT    # correctness dump
 #   bin/spark-submit-pipeline.sh probe N UNITS [TOKENS_SCALE]  # per-stage timings
@@ -21,6 +24,7 @@ fi
 
 MODE="${1:-bench}"
 case "$MODE" in
+  run)    CLASS=graft.Main;       shift || true ;;
   bench)  CLASS=graft.Bench;      shift || true ;;
   verify) CLASS=graft.Verify;     shift || true ;;
   probe)  CLASS=graft.StageProbe; shift || true ;;
