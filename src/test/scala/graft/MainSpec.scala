@@ -43,6 +43,26 @@ class MainSpec extends SparkSpec {
       Main.parse(Seq("--input", "/in", "--output", "/out", "--bogus"))
   }
 
+  test("--table input reads a catalog table and matches the --input run") {
+    val dir = Files.createTempDirectory("graft-main-table").toString
+    val inPath = s"$dir/pages"
+    PagesGen.pages(spark, PagesGen.Spec(nUnits = 30))
+      .write.mode("overwrite").parquet(inPath)
+    // spark.read.table resolves temp views through the same catalog path an
+    // Iceberg table would arrive by (spark-submit --conf spark.sql.catalog...).
+    spark.read.parquet(inPath).createOrReplaceTempView("graft_pages_v")
+    Main.run(spark, Main.parse(Seq(
+      "--table", "graft_pages_v", "--output", s"$dir/outT")))
+    Main.run(spark, Main.parse(Seq(
+      "--input", inPath, "--output", s"$dir/outI")))
+    val byTable = spark.read.parquet(s"$dir/outT/report")
+      .select("cluster_id", "url", "canonical").orderBy("url").collect()
+    val byPath = spark.read.parquet(s"$dir/outI/report")
+      .select("cluster_id", "url", "canonical").orderBy("url").collect()
+    byTable.length should be > 0
+    byTable shouldBe byPath
+  }
+
   test("end-to-end run writes report, canonical_map, reference_json, metrics; re-run resumes") {
     val dir = Files.createTempDirectory("graft-main").toString
     val inPath = s"$dir/pages"
