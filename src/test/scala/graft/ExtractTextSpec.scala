@@ -87,6 +87,25 @@ class ExtractTextSpec extends SparkSpec {
     assert(ExtractText(html) == text)
   }
 
+  test("truncated structures: unterminated comment/script/tag/entity stay total") {
+    def x(s: String) = ExtractText(s.getBytes(StandardCharsets.UTF_8))
+    // unterminated comment / script / style swallow to end-of-input
+    assert(x("before<!-- never closed") == "before")
+    assert(x("a<script>var x = 1") == "a")
+    assert(x("a<style>p {") == "a")
+    // unterminated tag at end-of-input
+    assert(x("text<div class=") == "text")
+    // '&' without a ';' within 12 chars stays literal (no entity decode)
+    assert(x("<p>fish &amp chips</p>") == "fish &amp chips")
+    assert(x("<p>t &thisentityistoolong; u</p>") == "t &thisentityistoolong; u")
+    // empty / malformed numeric entities pass through literally
+    assert(x("<p>&#x;</p>") == "&#x;")
+    assert(x("<p>&#;</p>") == "&#;")
+    assert(x("<p>&bogus;</p>") == "&bogus;")
+    // unknown charset declarations fall back to utf-8
+    assert(x("""<meta charset="klingon"><p>héllo</p>""") == "héllo")
+  }
+
   test("total on arbitrary bytes (never throws, always deterministic)") {
     val rnd = new scala.util.Random(7)
     (1 to 500).foreach { _ =>
