@@ -22,36 +22,45 @@ object GraftExtensions {
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
+  /** Arity-checked builder: a wrong-arity SQL call must fail analysis with
+    * the function's name and usage, not leak a bare NoSuchElementException /
+    * IndexOutOfBoundsException from `args.head` / `args(1)`. */
+  private def checked(name: String, n: Int, usage: String)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    args => {
+      if (args.length != n)
+        throw new IllegalArgumentException(
+          s"Invalid number of arguments for function $name: expected $n, got ${args.length}. Usage: $usage")
+      build(args)
+    }
+
   /** (identifier, info, builder) for every exposed function. */
   val definitions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = {
     val cfg = graft.model.GraftConfig()
+    def fn(name: String, n: Int, usage: String)(build: Seq[Expression] => Expression) =
+      (FunctionIdentifier(name), info(name, usage), checked(name, n, usage)(build))
     Seq(
-      (FunctionIdentifier("extract_text"),
-        info("extract_text", "extract_text(html binary) - deterministic HTML -> text extraction"),
-        (args: Seq[Expression]) => ExtractTextExpr(args.head)),
-      (FunctionIdentifier("doc_signature"),
-        info("doc_signature",
-          "doc_signature(text) - struct(minhash, simhash, band_hashes) at the default config"),
-        (args: Seq[Expression]) =>
-          DocSignatureExpr(args.head, cfg.shingleK, cfg.numPerm, cfg.bands, cfg.seed)),
-      (FunctionIdentifier("winnow_fingerprint"),
-        info("winnow_fingerprint", "winnow_fingerprint(text) - array<long> winnowing fingerprint set"),
-        (args: Seq[Expression]) =>
-          WinnowFingerprintExpr(args.head, Fingerprint.DefaultK, Fingerprint.DefaultW)),
-      (FunctionIdentifier("fingerprint64"),
-        info("fingerprint64", "fingerprint64(text) - 64-bit winnowing fingerprint digest"),
-        (args: Seq[Expression]) =>
-          Fingerprint64Expr(args.head, Fingerprint.DefaultK, Fingerprint.DefaultW)),
-      (FunctionIdentifier("l2_normalize"),
-        info("l2_normalize", "l2_normalize(embedding array<float>) - unit vector as array<double>"),
-        (args: Seq[Expression]) => L2NormalizeExpr(args.head)),
-      (FunctionIdentifier("dot_product"),
-        info("dot_product", "dot_product(a array<double>, b array<double>) - double"),
-        (args: Seq[Expression]) => DotProductExpr(args(0), args(1))),
-      (FunctionIdentifier("embedding_band_keys"),
-        info("embedding_band_keys",
-          "embedding_band_keys(embedding array<float>) - array<long> sign-LSH band keys at the default AnnConfig"),
-        (args: Seq[Expression]) => {
+      fn("extract_text", 1,
+        "extract_text(html binary) - deterministic HTML -> text extraction")(
+        args => ExtractTextExpr(args.head)),
+      fn("doc_signature", 1,
+        "doc_signature(text) - struct(minhash, simhash, band_hashes) at the default config")(
+        args => DocSignatureExpr(args.head, cfg.shingleK, cfg.numPerm, cfg.bands, cfg.seed)),
+      fn("winnow_fingerprint", 1,
+        "winnow_fingerprint(text) - array<long> winnowing fingerprint set")(
+        args => WinnowFingerprintExpr(args.head, Fingerprint.DefaultK, Fingerprint.DefaultW)),
+      fn("fingerprint64", 1,
+        "fingerprint64(text) - 64-bit winnowing fingerprint digest")(
+        args => Fingerprint64Expr(args.head, Fingerprint.DefaultK, Fingerprint.DefaultW)),
+      fn("l2_normalize", 1,
+        "l2_normalize(embedding array<float>) - unit vector as array<double>")(
+        args => L2NormalizeExpr(args.head)),
+      fn("dot_product", 2,
+        "dot_product(a array<double>, b array<double>) - double")(
+        args => DotProductExpr(args(0), args(1))),
+      fn("embedding_band_keys", 1,
+        "embedding_band_keys(embedding array<float>) - array<long> sign-LSH band keys at the default AnnConfig")(
+        args => {
           val ann = graft.similarity.Similarity.AnnConfig()
           EmbeddingBandKeysExpr(args.head, ann.bits, ann.bands, ann.seed)
         })

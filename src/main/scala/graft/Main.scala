@@ -12,8 +12,10 @@ import graft.model.GraftConfig
   * only (1) parses CLI knobs into a [[GraftConfig]], (2) picks the stage IO
   * (durable [[ParquetSnapshotIO]] under `--checkpoint`, so a killed run
   * resumes from its last committed stage — including mid-ST4, per-iteration
-  * CC labels), and (3) writes the four user-facing outputs as distributed
-  * sinks:
+  * CC labels; the dir may be on any Hadoop filesystem — hdfs://, abfs://,
+  * file://, or scheme-less = the default FS — see
+  * [[graft.checkpoint.FsOps]]), and (3) writes the four user-facing
+  * outputs as distributed sinks:
   *
   *   - `<output>/report`         flat cluster report (parquet)
   *   - `<output>/canonical_map`  url -> canonical_url pointer table

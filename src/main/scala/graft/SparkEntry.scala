@@ -248,7 +248,7 @@ object SparkEntry {
     // recall-vs-brute-force tests.)
     "ann_top1" -> ((s, dir) =>
       Similarity.annTopK(embWithNearDups(s, dir), 1)
-        .where(col("vec_id") >= lit(1000000L) || pmod(col("vec_id"), lit(5)) === 0)
+        .where(col("vec_id") >= lit(PlantedVecOffset) || pmod(col("vec_id"), lit(5)) === 0)
         .select("vec_id", "neighbor_id")
         .orderBy("vec_id")),
     // ---- IVF variant, hash-checked the same way as ann_top1: IVF over the
@@ -260,7 +260,7 @@ object SparkEntry {
     // SimilaritySpec.)
     "ivf_top1" -> ((s, dir) =>
       Similarity.ivfTopK(embWithNearDups(s, dir), 1, nlist = 16, nprobe = 4)
-        .where(col("vec_id") >= lit(1000000L) || pmod(col("vec_id"), lit(5)) === 0)
+        .where(col("vec_id") >= lit(PlantedVecOffset) || pmod(col("vec_id"), lit(5)) === 0)
         .select("vec_id", "neighbor_id")
         .orderBy("vec_id")),
 
@@ -469,14 +469,22 @@ object SparkEntry {
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** Planted-copy id offset for embWithNearDups: a planted id is
+    * base vec_id + this, and "is planted" is tested as vec_id >= this.
+    * 2^40 so a real corpus can never collide with the planted range
+    * (2^40 embeddings x ~1.5 KB each is ~1.6 EB — beyond any input this
+    * engine targets); the same literal is interpolated into the DuckDB
+    * oracles so both sides share one constant. */
+  private val PlantedVecOffset: Long = 1L << 40
+
   /** Embedding corpus with planted near-duplicates, derived
     * deterministically from the shared embeddings table (the vector analog
     * of PagesGen.fromDocuments): every vec_id % 5 == 0 vector gains a near
-    * copy (vec_id + 1,000,000) scaled per-dimension by 0.96..1.04. */
+    * copy (vec_id + PlantedVecOffset) scaled per-dimension by 0.96..1.04. */
   private def embWithNearDups(s: SparkSession, dir: String): DataFrame = {
     val base = emb(s, dir).select(col("vec_id"), col("embedding"))
     val near = emb(s, dir).where(pmod(col("vec_id"), lit(5)) === 0)
-      .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+      .select((col("vec_id") + lit(PlantedVecOffset)).as("vec_id"),
         transform(col("embedding"), (x, i) =>
           x * (lit(0.96f) + lit(0.02f) *
             pmod(col("vec_id") * 7 + i, lit(5)).cast("float"))).as("embedding"))
@@ -716,22 +724,22 @@ object SparkEntry {
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
     "emb_neardup" ->
-      """SELECT vec_id, cluster_id FROM (
+      s"""SELECT vec_id, cluster_id FROM (
         |  SELECT vec_id, vec_id AS cluster_id FROM embeddings WHERE vec_id % 5 = 0
         |  UNION ALL
-        |  SELECT vec_id + 1000000, vec_id FROM embeddings WHERE vec_id % 5 = 0
+        |  SELECT vec_id + ${PlantedVecOffset}, vec_id FROM embeddings WHERE vec_id % 5 = 0
         |) ORDER BY vec_id""".stripMargin,
     "ann_top1" ->
-      """SELECT vec_id, neighbor_id FROM (
-        |  SELECT vec_id, vec_id + 1000000 AS neighbor_id FROM embeddings WHERE vec_id % 5 = 0
+      s"""SELECT vec_id, neighbor_id FROM (
+        |  SELECT vec_id, vec_id + ${PlantedVecOffset} AS neighbor_id FROM embeddings WHERE vec_id % 5 = 0
         |  UNION ALL
-        |  SELECT vec_id + 1000000, vec_id FROM embeddings WHERE vec_id % 5 = 0
+        |  SELECT vec_id + ${PlantedVecOffset}, vec_id FROM embeddings WHERE vec_id % 5 = 0
         |) ORDER BY vec_id""".stripMargin,
     "ivf_top1" ->
-      """SELECT vec_id, neighbor_id FROM (
-        |  SELECT vec_id, vec_id + 1000000 AS neighbor_id FROM embeddings WHERE vec_id % 5 = 0
+      s"""SELECT vec_id, neighbor_id FROM (
+        |  SELECT vec_id, vec_id + ${PlantedVecOffset} AS neighbor_id FROM embeddings WHERE vec_id % 5 = 0
         |  UNION ALL
-        |  SELECT vec_id + 1000000, vec_id FROM embeddings WHERE vec_id % 5 = 0
+        |  SELECT vec_id + ${PlantedVecOffset}, vec_id FROM embeddings WHERE vec_id % 5 = 0
         |) ORDER BY vec_id""".stripMargin,
     "simhash_planted" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents

@@ -38,12 +38,25 @@ final class IcebergIO(catalog: String, namespace: String, configHash: String)
 
   override def load(spark: SparkSession, stage: String): Option[(DataFrame, Manifest)] = {
     IcebergIO.ensureAvailable()
-    val snaps = Try(spark.read.format("iceberg").load(s"${tbl(stage)}.snapshots"))
-      .toOption.getOrElse(return None) // table absent -> no committed snapshot
+    // ONLY "table does not exist" maps to None (no committed snapshot yet).
+    // Anything else — catalog connectivity, credentials, a corrupt metadata
+    // pointer — must SURFACE: swallowing it would silently recompute a
+    // multi-hour stage, the exact failure checkpointing exists to prevent.
+    val snaps =
+      try spark.read.format("iceberg").load(s"${tbl(stage)}.snapshots")
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if Option(e.getCondition).exists(_.contains("NOT_FOUND")) ||
+              e.getMessage.toLowerCase.contains("not found") ||
+              e.getMessage.toLowerCase.contains("does not exist") =>
+          return None
+      }
     val latest = snaps
       .where(element_at(col("summary"), "config_hash") === configHash)
       .orderBy(col("committed_at").desc)
-      .select(col("snapshot_id"), element_at(col("summary"), "row_count").as("rows"))
+      // row count travels in Iceberg's NATIVE summary ("total-records",
+      // written by every Iceberg commit) — nothing bespoke to maintain.
+      .select(col("snapshot_id"), element_at(col("summary"), "total-records").as("rows"))
       .limit(1).collect().headOption
     latest.map { r =>
       val df = spark.read.format("iceberg")
@@ -56,14 +69,16 @@ final class IcebergIO(catalog: String, namespace: String, configHash: String)
   override def commit(df: DataFrame, stage: String): (DataFrame, Manifest) = {
     IcebergIO.ensureAvailable()
     val spark = df.sparkSession
-    val rows = df.count()
     // createOrReplace is a single atomic Iceberg snapshot (REPLACE TABLE AS
     // SELECT): readers see the old snapshot until the commit lands — the
     // same all-or-nothing contract ParquetSnapshotIO gets from its
-    // rename-based manifest.
+    // rename-based manifest. The stage DAG executes ONCE, here: the row
+    // count is derived afterwards from the committed files (a light
+    // metadata-sized job), never from a pre-write df.count() that would
+    // compute the whole stage twice. Iceberg's native "total-records"
+    // summary field carries the count for load().
     df.writeTo(tbl(stage))
       .option("snapshot-property.config_hash", configHash)
-      .option("snapshot-property.row_count", rows.toString)
       .option("snapshot-property.committed_at_stage", stage)
       .createOrReplace()
     // The REAL snapshot id of the commit that just landed (latest snapshot
@@ -76,23 +91,19 @@ final class IcebergIO(catalog: String, namespace: String, configHash: String)
       .headOption.map(_.getLong(0).toString).getOrElse("iceberg-unknown")
     val committed = spark.read.format("iceberg").load(tbl(stage))
     // Per-partition lineage rows (north-rule requirement, SURVEY §7.6) —
-    // same derivation as ParquetSnapshotIO.commit, APPENDED (create on
+    // the SHARED TableIO.lineageRows derivation (one schema with
+    // ParquetSnapshotIO, maintained in one place), APPENDED (create on
     // first commit) so the metrics table is a queryable history across
     // resumes and config changes, keyed by (stage, config_hash,
     // snapshot_id) per row.
-    val metricRows = committed
-      .groupBy(spark_partition_id().as("partition_id"))
-      .agg(count(lit(1)).as("rows_out"))
-      .withColumn("stage", lit(stage))
-      .withColumn("config_hash", lit(configHash))
-      .withColumn("snapshot_id", lit(snapshotId))
-      .withColumn("committed_ms", lit(System.currentTimeMillis()))
-      .select("stage", "partition_id", "rows_out", "config_hash",
-        "snapshot_id", "committed_ms")
+    val metricRows = TableIO.lineageRows(committed, stage, configHash, snapshotId).cache()
     val metricsTable = tbl(s"${stage}_metrics")
     if (spark.catalog.tableExists(metricsTable))
       metricRows.writeTo(metricsTable).append()
     else metricRows.writeTo(metricsTable).create()
+    val rows = Option(metricRows.agg(sum(col("rows_out"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L) // empty snapshot -> 0
+    metricRows.unpersist()
     (committed, Manifest(snapshotId, configHash, rows, stage))
   }
 }

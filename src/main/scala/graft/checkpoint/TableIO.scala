@@ -1,8 +1,6 @@
 package graft.checkpoint
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
-import java.nio.charset.StandardCharsets
-
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Per-stage checkpoint storage with atomic manifest commits (ST* resume).
@@ -36,6 +34,25 @@ trait TableIO {
   def ccDurableDir: Option[String] = None
 }
 
+object TableIO {
+  /** Canonical per-partition lineage rows for a committed snapshot — ONE
+    * schema and derivation shared by every durable impl (ParquetSnapshotIO,
+    * IcebergIO), so the metrics stores can never drift apart. One row per
+    * read partition of the committed files (north-rule §7.6). */
+  def lineageRows(committed: DataFrame, stage: String, configHash: String,
+      snapshotId: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    committed
+      .groupBy(spark_partition_id().as("partition_id"))
+      .agg(count(lit(1)).as("rows_out"))
+      .withColumn("stage", lit(stage))
+      .withColumn("snapshot_id", lit(snapshotId))
+      .withColumn("config_hash", lit(configHash))
+      .withColumn("committed_ms", lit(System.currentTimeMillis()))
+      .select("stage", "snapshot_id", "partition_id", "rows_out", "config_hash", "committed_ms")
+  }
+}
+
 final case class Manifest(
     snapshotId: String,
     configHash: String,
@@ -65,11 +82,19 @@ object Manifest {
   * Every commit also writes a per-partition lineage/metrics table
   * `<stage>/<snapshot>_metrics` with one row per written partition
   * (north-rule requirement, SURVEY §7.6): the durable generalization of the
-  * reference's atomic progress counters (process_matches.rs:85-96). */
+  * reference's atomic progress counters (process_matches.rs:85-96).
+  *
+  * `root` may be on any Hadoop filesystem (file://, hdfs://, abfs://, or
+  * scheme-less = the default FS): manifest/GC operations go through
+  * [[FsOps]] against the SAME filesystem the executors' parquet writes
+  * resolve, so a shared checkpoint dir works on a real cluster — see the
+  * FsOps scaladoc for the atomic-rename requirement on the manifest. */
 final class ParquetSnapshotIO(root: String, configHash: String) extends TableIO {
 
-  private def stageDir(stage: String) = Paths.get(root, stage)
-  private def manifestPath(stage: String) = stageDir(stage).resolve("_manifest.json")
+  private def hconf(spark: SparkSession) = spark.sparkContext.hadoopConfiguration
+
+  private def stageDir(stage: String) = new Path(root, stage)
+  private def manifestPath(stage: String) = new Path(stageDir(stage), "_manifest.json")
 
   /** ST4's per-iteration CC label commits live beside the stage snapshots,
     * keyed by config hash (the label store itself re-keys by edge hash).
@@ -82,38 +107,26 @@ final class ParquetSnapshotIO(root: String, configHash: String) extends TableIO 
   // runs with different configs sharing a root would sweep each other's
   // live state — use distinct roots for concurrent experiments.
   override def ccDurableDir: Option[String] = {
+    // The trait signature carries no session; the sweep runs inside an
+    // active Pipeline.run, so the active session's Hadoop conf is the one
+    // the executors' writes resolve against.
+    val conf = hconf(SparkSession.active)
     val base = stageDir("st4_cc")
-    if (Files.exists(base)) {
-      import scala.jdk.CollectionConverters._
-      val ls = Files.list(base)
-      val stale =
-        try ls.iterator().asScala
-          .filter(d => Files.isDirectory(d) && d.getFileName.toString != configHash)
-          .toList
-        finally ls.close()
-      stale.foreach { d =>
-        // Exception, not just IOException: lazy Files.walk iteration wraps
-        // fs errors in UncheckedIOException (a RuntimeException). A failed
-        // sweep is never fatal — the next run sweeps again.
-        try {
-          val w = Files.walk(d)
-          try w.sorted(java.util.Comparator.reverseOrder())
-            .iterator().asScala.foreach(Files.delete)
-          finally w.close()
-        } catch { case _: Exception => () }
-      }
-    }
-    Some(base.resolve(configHash).toString)
+    FsOps.listDirs(conf, base)
+      .filter(_.getName != configHash)
+      .foreach(FsOps.deleteRecursive(conf, _)) // failed sweep is never fatal
+    Some(new Path(base, configHash).toString)
   }
 
   override def load(spark: SparkSession, stage: String): Option[(DataFrame, Manifest)] = {
+    val conf = hconf(spark)
     val mp = manifestPath(stage)
-    if (!Files.exists(mp)) return None
-    Manifest.fromJson(new String(Files.readAllBytes(mp), StandardCharsets.UTF_8))
+    if (!FsOps.exists(conf, mp)) return None
+    Manifest.fromJson(FsOps.readString(conf, mp))
       .filter(_.configHash == configHash) // stale-config snapshots are ignored
       .flatMap { m =>
-        val data = stageDir(stage).resolve(m.snapshotId)
-        if (Files.exists(data)) Some((spark.read.parquet(data.toString), m))
+        val data = new Path(stageDir(stage), m.snapshotId)
+        if (FsOps.exists(conf, data)) Some((spark.read.parquet(data.toString), m))
         else None
       }
   }
@@ -121,16 +134,18 @@ final class ParquetSnapshotIO(root: String, configHash: String) extends TableIO 
   /** Per-partition metrics of a committed snapshot (resolved through the
     * manifest — snapshot ids are unique per commit, see commit()). */
   def metrics(spark: SparkSession, stage: String): Option[DataFrame] = {
+    val conf = hconf(spark)
     val mp = manifestPath(stage)
-    if (!Files.exists(mp)) return None
-    Manifest.fromJson(new String(Files.readAllBytes(mp), StandardCharsets.UTF_8))
-      .map(m => stageDir(stage).resolve(s"${m.snapshotId}_metrics"))
-      .filter(Files.exists(_))
+    if (!FsOps.exists(conf, mp)) return None
+    Manifest.fromJson(FsOps.readString(conf, mp))
+      .map(m => new Path(stageDir(stage), s"${m.snapshotId}_metrics"))
+      .filter(FsOps.exists(conf, _))
       .map(p => spark.read.parquet(p.toString))
   }
 
   override def commit(df: DataFrame, stage: String): (DataFrame, Manifest) = {
     val spark = df.sparkSession
+    val conf = hconf(spark)
     import org.apache.spark.sql.functions._
     // UNIQUE snapshot dir per commit: writing in place under the id the
     // current manifest references would delete the only durable copy
@@ -141,59 +156,33 @@ final class ParquetSnapshotIO(root: String, configHash: String) extends TableIO 
     // instant the manifest references a fully-written snapshot.
     val snapshotId = s"snap-$configHash-${java.util.UUID.randomUUID().toString.take(8)}"
     val dir = stageDir(stage)
-    Files.createDirectories(dir)
-    val dataPath = dir.resolve(snapshotId)
+    FsOps.mkdirs(conf, dir)
+    val dataPath = new Path(dir, snapshotId)
     df.write.mode("overwrite").parquet(dataPath.toString)
 
     // Per-partition lineage rows over the durable snapshot (one light job:
     // count + byte-size per read partition of the committed files).
     val committed = spark.read.parquet(dataPath.toString)
-    val perPart = committed
-      .groupBy(spark_partition_id().as("partition_id"))
-      .agg(count(lit(1)).as("rows_out"))
-      .withColumn("stage", lit(stage))
-      .withColumn("snapshot_id", lit(snapshotId))
-      .withColumn("config_hash", lit(configHash))
-      .withColumn("committed_ms", lit(System.currentTimeMillis()))
-      .select("stage", "snapshot_id", "partition_id", "rows_out", "config_hash", "committed_ms")
-      .cache()
-    perPart.write.mode("overwrite").parquet(dir.resolve(s"${snapshotId}_metrics").toString)
+    val perPart = TableIO.lineageRows(committed, stage, configHash, snapshotId).cache()
+    perPart.write.mode("overwrite").parquet(new Path(dir, s"${snapshotId}_metrics").toString)
     val rows = Option(perPart.agg(sum(col("rows_out"))).head().get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L) // empty snapshot -> 0
     perPart.unpersist()
 
     val m = Manifest(snapshotId, configHash, rows, stage)
-    val tmp = dir.resolve(s"_manifest.json.tmp-${java.util.UUID.randomUUID()}")
-    Files.write(tmp, m.toJson.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, manifestPath(stage), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    val tmp = new Path(dir, s"_manifest.json.tmp-${java.util.UUID.randomUUID()}")
+    FsOps.writeAtomic(conf, tmp, manifestPath(stage), m.toJson)
     // GC every snapshot dir the manifest no longer references — superseded
     // commits AND stale-config leftovers (previously stranded forever; the
     // same single-writer-per-checkpoint-root assumption the st4_cc sweep
     // documents). A crash before the swing leaves the new dirs orphaned
     // and the old manifest intact; a crash mid-GC leaves sweepable dirs —
     // both healed by the next commit's GC.
-    sweepUnreferenced(dir, keep = Set(snapshotId, s"${snapshotId}_metrics"))
+    FsOps.listDirs(conf, dir)
+      .filter(p => p.getName.startsWith("snap-")
+        && !Set(snapshotId, s"${snapshotId}_metrics").contains(p.getName))
+      .foreach(FsOps.deleteRecursive(conf, _)) // best effort; next commit resweeps
     (spark.read.parquet(dataPath.toString), m)
-  }
-
-  private def sweepUnreferenced(dir: java.nio.file.Path, keep: Set[String]): Unit = {
-    import scala.jdk.CollectionConverters._
-    val ls = Files.list(dir)
-    val stale =
-      try ls.iterator().asScala
-        .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("snap-")
-          && !keep.contains(p.getFileName.toString))
-        .toList
-      finally ls.close()
-    stale.foreach { d =>
-      try {
-        val w = Files.walk(d)
-        try w.sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(Files.delete)
-        finally w.close()
-      } catch { case _: Exception => () } // best effort; next commit resweeps
-    }
   }
 }
 

@@ -139,77 +139,56 @@ object ConnectedComponents {
   /** Per-iteration durable label store: `<dir>/labels-iter<k>` parquet plus
     * an atomically-renamed `_cc_manifest.json` recording (edgeHash, iter).
     * The manifest only ever points at a fully-written snapshot; state under
-    * a different edgeHash is ignored and overwritten. */
+    * a different edgeHash is ignored and overwritten. All filesystem ops go
+    * through [[graft.checkpoint.FsOps]], so `dir` may live on any Hadoop
+    * filesystem (shared hdfs:// on a cluster, file:// in the sandbox). */
   private final class DurableLabels(dir: String, edgeHash: String) {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    import java.nio.charset.StandardCharsets
-    private val root = Paths.get(dir)
-    private val manifest = root.resolve("_cc_manifest.json")
+    import org.apache.hadoop.fs.Path
+    import graft.checkpoint.FsOps
+    private val root = new Path(dir)
+    private val manifest = new Path(root, "_cc_manifest.json")
     private val Field = """"(\w+)"\s*:\s*(?:"([^"]*)"|(\d+))""".r
 
     def load(spark: SparkSession): Option[(DataFrame, Int)] = {
-      if (!Files.exists(manifest)) return None
-      val kv = Field.findAllMatchIn(
-        new String(Files.readAllBytes(manifest), StandardCharsets.UTF_8))
+      val conf = spark.sparkContext.hadoopConfiguration
+      if (!FsOps.exists(conf, manifest)) return None
+      val kv = Field.findAllMatchIn(FsOps.readString(conf, manifest))
         .map(m => m.group(1) -> Option(m.group(2)).getOrElse(m.group(3))).toMap
       kv.get("edge_hash") match {
         case Some(h) if h == edgeHash =>
           for {
             k <- kv.get("iter").map(_.toInt)
-            p = root.resolve(s"labels-iter$k") if Files.exists(p)
+            p = new Path(root, s"labels-iter$k") if FsOps.exists(conf, p)
           } yield (spark.read.parquet(p.toString), k)
         case _ =>
           // Labels committed under a DIFFERENT edge set are useless to this
           // run and would otherwise accumulate forever (every edge-set
           // change strands its label dirs): clear the whole store and start
           // fresh.
-          clear()
+          FsOps.deleteRecursive(conf, root)
           None
       }
     }
 
-    private def clear(): Unit = {
-      import scala.jdk.CollectionConverters._
-      if (Files.exists(root)) {
-        val w = Files.walk(root)
-        try w.sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(Files.delete)
-        finally w.close() // NIO streams hold an fd until closed
-      }
-    }
-
     def commit(labels: DataFrame, iter: Int): DataFrame = {
-      Files.createDirectories(root)
-      val p = root.resolve(s"labels-iter$iter")
+      val conf = labels.sparkSession.sparkContext.hadoopConfiguration
+      FsOps.mkdirs(conf, root)
+      val p = new Path(root, s"labels-iter$iter")
       labels.write.mode("overwrite").parquet(p.toString)
-      val tmp = root.resolve(s"_cc_manifest.tmp-${java.util.UUID.randomUUID()}")
-      Files.write(tmp,
-        s"""{"edge_hash": "$edgeHash", "iter": $iter}""".getBytes(StandardCharsets.UTF_8))
-      Files.move(tmp, manifest, StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
+      val tmp = new Path(root, s"_cc_manifest.tmp-${java.util.UUID.randomUUID()}")
+      FsOps.writeAtomic(conf, tmp, manifest,
+        s"""{"edge_hash": "$edgeHash", "iter": $iter}""")
       // GC: once the manifest points at iter k, every OTHER labels-iter*
       // dir is unreachable by any resume — sweep them all (not just k-1:
       // a crash between a past manifest rename and its GC would otherwise
       // strand that iteration's dir forever, since later commits would only
-      // ever delete their own predecessor).
-      import scala.jdk.CollectionConverters._
-      val ls = Files.list(root)
-      val stale =
-        try ls.iterator().asScala
-          .filter(d => d.getFileName.toString.startsWith("labels-iter") && d != p)
-          .toList
-        finally ls.close() // NIO streams hold an fd until closed
-      stale.foreach { d =>
-        // GC failure must never abort a commit that already renamed its
-        // manifest (the iteration IS durable at this point); a dir that
-        // resists deletion is re-swept by the next commit.
-        try {
-          val w = Files.walk(d)
-          try w.sorted(java.util.Comparator.reverseOrder())
-            .iterator().asScala.foreach(Files.delete)
-          finally w.close()
-        } catch { case _: Exception => () }
-      }
+      // ever delete their own predecessor). GC failure must never abort a
+      // commit whose manifest already landed; a dir that resists deletion
+      // is re-swept by the next commit (FsOps.deleteRecursive is
+      // best-effort by contract).
+      FsOps.listDirs(conf, root)
+        .filter(d => d.getName.startsWith("labels-iter") && d.getName != p.getName)
+        .foreach(FsOps.deleteRecursive(conf, _))
       labels.sparkSession.read.parquet(p.toString)
     }
   }

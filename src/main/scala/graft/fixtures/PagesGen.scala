@@ -235,7 +235,9 @@ object PagesGen {
     import spark.implicits._
     val seed = spec.seed
     val scale = spec.tokensScale
-    spark.range(0L, spec.nUnits)
+    // Same unit range as pages(spec): truth for an offset Spec must describe
+    // the offset corpus, not units [0, nUnits) of a different one.
+    spark.range(spec.unitOffset, spec.unitOffset + spec.nUnits)
       .flatMap(i => genTruth(i, seed, shingleK, minJaccard, scale))
       .toDF()
   }
@@ -244,7 +246,7 @@ object PagesGen {
     import spark.implicits._
     val seed = spec.seed
     val scale = spec.tokensScale
-    spark.range(0L, spec.nUnits)
+    spark.range(spec.unitOffset, spec.unitOffset + spec.nUnits)
       .flatMap(i => genTruthClusters(i, seed, shingleK, minJaccard, scale))
       .toDF()
   }

@@ -74,5 +74,16 @@ class GoldenJsonSpec extends SparkSpec {
     }
     // the parent session's registry is untouched (session isolation)
     intercept[Exception] { spark.sql("SELECT fingerprint64('x')").head() }
+    // wrong ARITY fails with the function's name and usage in the message
+    // (round-5 review: args.head/args(1) used to leak a bare
+    // NoSuchElementException / IndexOutOfBoundsException)
+    val e1 = intercept[Exception] { s3.sql("SELECT fingerprint64()").head() }
+    assert(e1.getMessage.contains("fingerprint64") && e1.getMessage.contains("expected 1"),
+      s"unhelpful arity error: ${e1.getMessage}")
+    val e2 = intercept[Exception] {
+      s3.sql("SELECT dot_product(array(CAST(1.0 AS DOUBLE)))").head()
+    }
+    assert(e2.getMessage.contains("dot_product") && e2.getMessage.contains("expected 2"),
+      s"unhelpful arity error: ${e2.getMessage}")
   }
 }

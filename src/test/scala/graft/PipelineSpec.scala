@@ -102,6 +102,23 @@ class PipelineSpec extends SparkSpec {
     assert(shifted.nonEmpty && base.keySet.intersect(shifted).isEmpty)
   }
 
+  test("truth tables for an offset Spec describe the offset corpus") {
+    // Regression (round-5 review): truthPairs/truthClusters ranged over
+    // [0, nUnits) regardless of unitOffset, so truth for an offset corpus
+    // silently described a DIFFERENT corpus — zero url overlap, recall
+    // evaluating to 0/0 with no error.
+    val off = spec.copy(nUnits = 40, unitOffset = 500L)
+    val corpusUrls = PagesGen.pages(spark, off).collect().map(_.getString(0)).toSet
+    val pairUrls = PagesGen.truthPairs(spark, off).collect()
+      .flatMap(r => Seq(r.getAs[String]("url_a"), r.getAs[String]("url_b"))).toSet
+    val memberUrls = PagesGen.truthClusters(spark, off).collect()
+      .map(_.getAs[String]("url")).toSet
+    assert(pairUrls.nonEmpty && memberUrls.nonEmpty)
+    assert(pairUrls.subsetOf(corpusUrls),
+      s"truth pair urls outside the offset corpus: ${pairUrls.diff(corpusUrls).take(3)}")
+    assert(memberUrls.subsetOf(corpusUrls))
+  }
+
   test("verified measures are sane (jaccard/hamming/lcs populated)") {
     val rows = result.verified.collect()
     assert(rows.nonEmpty)
