@@ -164,6 +164,28 @@ class ResumeSpec extends SparkSpec {
     assert(r2.metrics.forall(_.stage.nonEmpty)) // recomputed fine
   }
 
+  test("checkpoint root may be a Hadoop filesystem URI (explicit file:// scheme)") {
+    // Regression (round-5 review): manifest/GC ops used java.nio, which
+    // resolves "file:///x" (or "hdfs://nn/x") as a RELATIVE local path on
+    // the driver while the executors' parquet writes resolve the same
+    // string through Hadoop — manifest and data on different filesystems,
+    // so resume never fired. With FsOps both sides resolve identically.
+    val local = Files.createTempDirectory("graft-fsroot")
+    val root = "file://" + local.toString
+    val pages = PagesGen.pages(spark, spec)
+    val r1 = Pipeline.run(spark, pages, cfg, new ParquetSnapshotIO(root, cfg.configHash))
+    val rep1 = r1.report.collect().map(_.toString).sorted
+
+    // manifest and data landed under the SAME local dir the URI names
+    assert(Files.exists(local.resolve("st0_extracted").resolve("_manifest.json")),
+      "manifest not on the filesystem the root URI names")
+
+    val r2 = Pipeline.run(spark, pages, cfg, new ParquetSnapshotIO(root, cfg.configHash))
+    assert(r2.metrics.forall(m => m.wall_ms == 0 && m.rows_in == m.rows_out),
+      s"stages not resumed under a URI root: ${r2.metrics.filter(_.wall_ms > 0).map(_.stage)}")
+    assert(rep1.sameElements(r2.report.collect().map(_.toString).sorted))
+  }
+
   test("IcebergIO fail-fasts in the jar-less sandbox (runtime guard, SURVEY §7.4)") {
     // The thin Iceberg impl compiles against plain Spark API; the sandbox
     // has no iceberg-spark-runtime jar, so the guard must reject use with
