@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+
+import graft.checkpoint.FsOps
+
+/** Unit gates for the Hadoop-FS primitives under every durable store
+  * (ParquetSnapshotIO manifests/GC, CC's per-iteration label store). The
+  * stores' semantics are tested in ResumeSpec/ConnectedComponentsSpec;
+  * these pin the primitives' contracts — atomic-overwrite rename, absent-
+  * path behavior, cross-scheme equivalence — so a future FS-layer change
+  * can't silently weaken a commit path. */
+class FsOpsSpec extends SparkSpec {
+
+  private def conf = spark.sparkContext.hadoopConfiguration
+  private def tmpDir() = Files.createTempDirectory("graft-fsops").toString
+
+  test("writeAtomic creates the destination and removes the tmp file") {
+    val d = tmpDir()
+    val dst = new Path(d, "_manifest.json")
+    val tmp = new Path(d, "_manifest.json.tmp-1")
+    FsOps.writeAtomic(conf, tmp, dst, """{"k": 1}""")
+    assert(FsOps.exists(conf, dst) && !FsOps.exists(conf, tmp))
+    assert(FsOps.readString(conf, dst) == """{"k": 1}""")
+  }
+
+  test("writeAtomic overwrites an existing destination (the manifest swing)") {
+    val d = tmpDir()
+    val dst = new Path(d, "_manifest.json")
+    FsOps.writeAtomic(conf, new Path(d, "t1"), dst, "old")
+    FsOps.writeAtomic(conf, new Path(d, "t2"), dst, "new-content")
+    assert(FsOps.readString(conf, dst) == "new-content")
+  }
+
+  test("readString round-trips multi-byte UTF-8") {
+    val d = tmpDir()
+    val dst = new Path(d, "m.json")
+    val s = """{"stage": "st2_candidates", "note": "héllo — 2²⁰"}"""
+    FsOps.writeAtomic(conf, new Path(d, "t"), dst, s)
+    assert(FsOps.readString(conf, dst) == s)
+  }
+
+  test("readString refuses files beyond the manifest size bound") {
+    val d = tmpDir()
+    val dst = new Path(d, "big")
+    FsOps.writeAtomic(conf, new Path(d, "t"), dst, "x" * ((1 << 20) + 1))
+    val e = intercept[IllegalArgumentException] { FsOps.readString(conf, dst) }
+    assert(e.getMessage.contains("manifest unexpectedly large"))
+  }
+
+  test("listDirs: absent root is empty; files are not listed") {
+    val d = tmpDir()
+    assert(FsOps.listDirs(conf, new Path(d, "nope")).isEmpty)
+    FsOps.mkdirs(conf, new Path(d, "snap-a"))
+    FsOps.mkdirs(conf, new Path(d, "snap-b"))
+    FsOps.writeAtomic(conf, new Path(d, "t"), new Path(d, "afile"), "x")
+    assert(FsOps.listDirs(conf, new Path(d)).map(_.getName).sorted == Seq("snap-a", "snap-b"))
+  }
+
+  test("deleteRecursive removes a tree and never throws on an absent path") {
+    val d = tmpDir()
+    val tree = new Path(d, "snap-old")
+    FsOps.mkdirs(conf, new Path(tree, "part-0"))
+    FsOps.writeAtomic(conf, new Path(tree, "t"), new Path(tree, "data"), "x")
+    assert(FsOps.deleteRecursive(conf, tree))
+    assert(!FsOps.exists(conf, tree))
+    assert(!FsOps.deleteRecursive(conf, new Path(d, "never-existed"))) // best-effort false
+  }
+
+  test("scheme-less and file:// spellings of one local path see the same file") {
+    // The cluster contract: a scheme-less path means "the default FS" (local
+    // in tests), and an explicit file:// URI names the same filesystem — the
+    // java.nio code this replaced broke exactly this equivalence.
+    val d = tmpDir()
+    val plain = new Path(d, "m.json")
+    val uri = new Path("file://" + d, "m.json")
+    FsOps.writeAtomic(conf, new Path(d, "t"), plain, "via-plain")
+    assert(FsOps.exists(conf, uri))
+    assert(FsOps.readString(conf, uri) == "via-plain")
+    FsOps.writeAtomic(conf, new Path("file://" + d, "t2"), uri, "via-uri")
+    assert(FsOps.readString(conf, plain) == "via-uri")
+  }
+}
