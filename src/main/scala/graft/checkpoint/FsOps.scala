@@ -3,7 +3,7 @@ package graft.checkpoint
 import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path, UnsupportedFileSystemException}
 
 /** Hadoop-FileSystem primitives shared by the durable stores
   * (ParquetSnapshotIO, ConnectedComponents' per-iteration label store), so
@@ -48,12 +48,48 @@ private[graft] object FsOps {
   }
 
   /** Write `content` to `tmp`, then atomically rename over `dst` (the
-    * commit point: at every instant `dst` is absent or a complete file). */
+    * commit point: at every instant `dst` is absent or a complete file).
+    * A failure anywhere deletes `tmp` before rethrowing, so a LIVE process
+    * never strands a tmp file; only a process kill can (swept by
+    * [[sweepTmp]] on the next commit). Schemes whose FileSystem impl ships
+    * without an AbstractFileSystem binding (FileContext needs one; e.g.
+    * gs:// without fs.AbstractFileSystem.gs.impl) degrade to
+    * delete-then-rename — a small non-atomic window, strictly better than
+    * failing the commit AFTER the expensive data write succeeded. */
   def writeAtomic(conf: Configuration, tmp: Path, dst: Path, content: String): Unit = {
-    val os = fs(conf, tmp).create(tmp, true)
-    try os.write(content.getBytes(StandardCharsets.UTF_8))
-    finally os.close()
-    fc(conf, dst).rename(tmp, dst, Options.Rename.OVERWRITE)
+    val f = fs(conf, tmp)
+    try {
+      val os = f.create(tmp, true)
+      try os.write(content.getBytes(StandardCharsets.UTF_8))
+      finally os.close()
+      try fc(conf, dst).rename(tmp, dst, Options.Rename.OVERWRITE)
+      catch {
+        case _: UnsupportedFileSystemException =>
+          // Try the no-clobber rename first: the old dst is only deleted
+          // once the replacement is fully written and one rename away.
+          if (!f.rename(tmp, dst)) {
+            f.delete(dst, false)
+            if (!f.rename(tmp, dst))
+              throw new java.io.IOException(s"rename $tmp -> $dst failed")
+          }
+      }
+    } catch {
+      case e: Throwable =>
+        try f.delete(tmp, false) catch { case _: Exception => () }
+        throw e
+    }
+  }
+
+  /** GC crash-stranded writeAtomic leftovers: sibling FILES named
+    * `<dst>.tmp-*` (a process killed between create and rename leaves
+    * exactly one). Best-effort; call before writing the next tmp. */
+  def sweepTmp(conf: Configuration, dst: Path): Unit = {
+    val parent = dst.getParent
+    if (parent != null && exists(conf, parent))
+      try fs(conf, parent).listStatus(parent)
+        .filter(s => s.isFile && s.getPath.getName.startsWith(dst.getName + ".tmp-"))
+        .foreach(s => fs(conf, parent).delete(s.getPath, false))
+      catch { case _: Exception => () }
   }
 
   /** Immediate subdirectories of `p` (empty if `p` is absent). */

@@ -38,19 +38,16 @@ final class IcebergIO(catalog: String, namespace: String, configHash: String)
 
   override def load(spark: SparkSession, stage: String): Option[(DataFrame, Manifest)] = {
     IcebergIO.ensureAvailable()
-    // ONLY "table does not exist" maps to None (no committed snapshot yet).
-    // Anything else — catalog connectivity, credentials, a corrupt metadata
-    // pointer — must SURFACE: swallowing it would silently recompute a
-    // multi-hour stage, the exact failure checkpointing exists to prevent.
+    // ONLY table-level absence maps to None (no committed snapshot yet).
+    // Anything else — CATALOG_NOT_FOUND/SCHEMA_NOT_FOUND (a typo'd catalog
+    // or namespace is misconfiguration, not a fresh run), connectivity,
+    // credentials, a corrupt metadata pointer — must SURFACE: swallowing it
+    // would silently recompute a multi-hour stage, the exact failure
+    // checkpointing exists to prevent. Matched by the SPECIFIC error
+    // condition / exception type, never by message substrings.
     val snaps =
       try spark.read.format("iceberg").load(s"${tbl(stage)}.snapshots")
-      catch {
-        case e: org.apache.spark.sql.AnalysisException
-            if Option(e.getCondition).exists(_.contains("NOT_FOUND")) ||
-              e.getMessage.toLowerCase.contains("not found") ||
-              e.getMessage.toLowerCase.contains("does not exist") =>
-          return None
-      }
+      catch { case e: Exception if IcebergIO.isTableAbsent(e) => return None }
     val latest = snaps
       .where(element_at(col("summary"), "config_hash") === configHash)
       .orderBy(col("committed_at").desc)
@@ -109,6 +106,21 @@ final class IcebergIO(catalog: String, namespace: String, configHash: String)
 }
 
 object IcebergIO {
+  /** True iff `e` (or its direct cause) means "this TABLE does not exist":
+    * Spark's TABLE_OR_VIEW_NOT_FOUND analysis condition, or a
+    * NoSuchTableException by class name (both Spark's
+    * connector.catalog and Iceberg's exceptions package spell it that
+    * way; matched by name so no Iceberg import is needed to compile). */
+  private[graft] def isTableAbsent(e: Throwable): Boolean = {
+    def noSuchTable(t: Throwable) =
+      t != null && t.getClass.getName.endsWith("NoSuchTableException")
+    val condition = e match {
+      case a: org.apache.spark.sql.AnalysisException => Option(a.getCondition).getOrElse("")
+      case _ => ""
+    }
+    condition == "TABLE_OR_VIEW_NOT_FOUND" || noSuchTable(e) || noSuchTable(e.getCause)
+  }
+
   /** True iff an Iceberg Spark runtime is on the classpath. Checked via the
     * public Iceberg API class (present in every iceberg-spark-runtime jar)
     * so the probe itself needs nothing from Iceberg to compile. */

@@ -30,7 +30,11 @@ trait TableIO {
     * if this IO is durable at all: the CC loop then commits its label
     * table per iteration and a restarted run resumes mid-propagation
     * instead of from scratch (executor/driver loss costs one iteration).
-    * In-memory IOs return None — there is nothing to resume into. */
+    * In-memory IOs return None — there is nothing to resume into.
+    *
+    * NOT a pure accessor on durable impls: it may sweep stale sibling
+    * state as a side effect and requires an ACTIVE SparkSession (it is
+    * called from inside Pipeline.run, where one is guaranteed). */
   def ccDurableDir: Option[String] = None
 }
 
@@ -161,7 +165,7 @@ final class ParquetSnapshotIO(root: String, configHash: String) extends TableIO 
     df.write.mode("overwrite").parquet(dataPath.toString)
 
     // Per-partition lineage rows over the durable snapshot (one light job:
-    // count + byte-size per read partition of the committed files).
+    // a row count per read partition of the committed files).
     val committed = spark.read.parquet(dataPath.toString)
     val perPart = TableIO.lineageRows(committed, stage, configHash, snapshotId).cache()
     perPart.write.mode("overwrite").parquet(new Path(dir, s"${snapshotId}_metrics").toString)
@@ -170,6 +174,7 @@ final class ParquetSnapshotIO(root: String, configHash: String) extends TableIO 
     perPart.unpersist()
 
     val m = Manifest(snapshotId, configHash, rows, stage)
+    FsOps.sweepTmp(conf, manifestPath(stage)) // kill-stranded tmp manifests
     val tmp = new Path(dir, s"_manifest.json.tmp-${java.util.UUID.randomUUID()}")
     FsOps.writeAtomic(conf, tmp, manifestPath(stage), m.toJson)
     // GC every snapshot dir the manifest no longer references — superseded
@@ -182,7 +187,7 @@ final class ParquetSnapshotIO(root: String, configHash: String) extends TableIO 
       .filter(p => p.getName.startsWith("snap-")
         && !Set(snapshotId, s"${snapshotId}_metrics").contains(p.getName))
       .foreach(FsOps.deleteRecursive(conf, _)) // best effort; next commit resweeps
-    (spark.read.parquet(dataPath.toString), m)
+    (committed, m)
   }
 }
 

@@ -175,7 +175,9 @@ object ConnectedComponents {
       FsOps.mkdirs(conf, root)
       val p = new Path(root, s"labels-iter$iter")
       labels.write.mode("overwrite").parquet(p.toString)
-      val tmp = new Path(root, s"_cc_manifest.tmp-${java.util.UUID.randomUUID()}")
+      FsOps.sweepTmp(conf, manifest) // kill-stranded tmp manifests
+      // tmp is named <manifest>.tmp-* — the exact prefix sweepTmp reclaims
+      val tmp = new Path(root, s"${manifest.getName}.tmp-${java.util.UUID.randomUUID()}")
       FsOps.writeAtomic(conf, tmp, manifest,
         s"""{"edge_hash": "$edgeHash", "iter": $iter}""")
       // GC: once the manifest points at iter k, every OTHER labels-iter*

@@ -69,6 +69,34 @@ class FsOpsSpec extends SparkSpec {
     assert(!FsOps.deleteRecursive(conf, new Path(d, "never-existed"))) // best-effort false
   }
 
+  test("sweepTmp reclaims only crash-stranded <dst>.tmp-* files") {
+    val d = tmpDir()
+    val dst = new Path(d, "_manifest.json")
+    FsOps.writeAtomic(conf, new Path(d, "x"), dst, "live")
+    // strand two tmp siblings (as a kill between create and rename would)
+    // plus an unrelated file that must survive
+    FsOps.writeAtomic(conf, new Path(d, "y1"), new Path(d, "_manifest.json.tmp-aaaa"), "dead")
+    FsOps.writeAtomic(conf, new Path(d, "y2"), new Path(d, "_manifest.json.tmp-bbbb"), "dead")
+    FsOps.writeAtomic(conf, new Path(d, "y3"), new Path(d, "other.txt"), "keep")
+    FsOps.sweepTmp(conf, dst)
+    assert(!FsOps.exists(conf, new Path(d, "_manifest.json.tmp-aaaa")))
+    assert(!FsOps.exists(conf, new Path(d, "_manifest.json.tmp-bbbb")))
+    assert(FsOps.readString(conf, dst) == "live")
+    assert(FsOps.exists(conf, new Path(d, "other.txt")))
+  }
+
+  test("writeAtomic cleans up its tmp when the rename fails") {
+    val d = tmpDir()
+    val blocker = new Path(d, "blocker")
+    FsOps.writeAtomic(conf, new Path(d, "t0"), blocker, "a file, not a dir")
+    val tmp = new Path(d, "m.tmp-1")
+    // dst's parent is a FILE -> the rename must fail after tmp is written
+    intercept[Exception] {
+      FsOps.writeAtomic(conf, tmp, new Path(blocker, "dst"), "x")
+    }
+    assert(!FsOps.exists(conf, tmp), "failed writeAtomic stranded its tmp file")
+  }
+
   test("scheme-less and file:// spellings of one local path see the same file") {
     // The cluster contract: a scheme-less path means "the default FS" (local
     // in tests), and an explicit file:// URI names the same filesystem — the

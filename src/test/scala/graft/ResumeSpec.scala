@@ -6,6 +6,11 @@ import graft.checkpoint.{Manifest, ParquetSnapshotIO}
 import graft.fixtures.PagesGen
 import graft.model.GraftConfig
 
+/** Stand-in for Spark's / Iceberg's NoSuchTableException: top-level so its
+  * BINARY name ends with "NoSuchTableException" exactly like the real ones
+  * (a method-local class would compile to `...$1` and defeat the match). */
+private class TestNoSuchTableException extends RuntimeException("table absent")
+
 /** Checkpoint/resume semantics (SURVEY.md §5.1 item 5): a stage with a
   * committed snapshot under the current config hash is loaded, not
   * recomputed; a config change invalidates all snapshots. */
@@ -199,5 +204,22 @@ class ResumeSpec extends SparkSpec {
     assert(intercept[IllegalStateException] {
       io.load(spark, "st0_extracted")
     }.getMessage.contains("ParquetSnapshotIO"))
+  }
+
+  test("IcebergIO table-absence matcher is specific: table-level only") {
+    import graft.checkpoint.IcebergIO.isTableAbsent
+    // absent TABLE (fresh run, no snapshot yet) -> None paths
+    assert(isTableAbsent(new org.apache.spark.sql.AnalysisException(
+      "TABLE_OR_VIEW_NOT_FOUND", Map("relationName" -> "`cat`.`ns`.`st0`"))))
+    assert(isTableAbsent(new TestNoSuchTableException))
+    assert(isTableAbsent(new RuntimeException("wrapped", new TestNoSuchTableException)))
+    // misconfiguration/infrastructure failures MUST surface, even when the
+    // message superficially says "not found" (the old substring heuristics
+    // mapped these to a silent full recompute)
+    assert(!isTableAbsent(new org.apache.spark.sql.AnalysisException(
+      "CATALOG_NOT_FOUND", Map("catalogName" -> "`cat`", "config" -> "x"))))
+    assert(!isTableAbsent(new org.apache.spark.sql.AnalysisException(
+      "SCHEMA_NOT_FOUND", Map("schemaName" -> "`ns`"))))
+    assert(!isTableAbsent(new RuntimeException("metastore not found / connection refused")))
   }
 }
