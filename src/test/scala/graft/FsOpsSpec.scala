@@ -6,6 +6,17 @@ import org.apache.hadoop.fs.Path
 
 import graft.checkpoint.FsOps
 
+/** Local-disk FileSystem registered under a scheme with NO
+  * AbstractFileSystem binding: `FileContext.getFileContext(uri)` throws
+  * UnsupportedFileSystemException for it, forcing writeAtomic onto its
+  * delete-then-rename fallback — the gs://-without-
+  * fs.AbstractFileSystem.gs.impl shape. Top-level so Hadoop's
+  * Configuration can instantiate it by class name. */
+class NoFcLocalFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "graftnofc"
+  override def getUri: java.net.URI = java.net.URI.create("graftnofc:///")
+}
+
 /** Unit gates for the Hadoop-FS primitives under every durable store
   * (ParquetSnapshotIO manifests/GC, CC's per-iteration label store). The
   * stores' semantics are tested in ResumeSpec/ConnectedComponentsSpec;
@@ -95,6 +106,28 @@ class FsOpsSpec extends SparkSpec {
       FsOps.writeAtomic(conf, tmp, new Path(blocker, "dst"), "x")
     }
     assert(!FsOps.exists(conf, tmp), "failed writeAtomic stranded its tmp file")
+  }
+
+  test("writeAtomic falls back to delete-then-rename without a FileContext binding") {
+    val c = new org.apache.hadoop.conf.Configuration(conf)
+    c.set("fs.graftnofc.impl", classOf[NoFcLocalFs].getName)
+    c.setBoolean("fs.graftnofc.impl.disable.cache", true)
+    // the binding really is absent: the atomic path cannot serve this scheme
+    intercept[org.apache.hadoop.fs.UnsupportedFileSystemException] {
+      org.apache.hadoop.fs.FileContext.getFileContext(
+        java.net.URI.create("graftnofc:///"), c)
+    }
+    val d = tmpDir() // local dir; the scheme maps onto the same disk
+    val dst = new Path(s"graftnofc://$d/_manifest.json")
+    // create (dst absent) and the overwriting manifest swing both succeed
+    FsOps.writeAtomic(c, new Path(s"graftnofc://$d/t1"), dst, "first")
+    assert(FsOps.readString(c, dst) == "first")
+    FsOps.writeAtomic(c, new Path(s"graftnofc://$d/t2"), dst, "second")
+    assert(FsOps.readString(c, dst) == "second")
+    assert(!FsOps.exists(c, new Path(s"graftnofc://$d/t1")))
+    assert(!FsOps.exists(c, new Path(s"graftnofc://$d/t2")))
+    // the file is really on local disk (same bytes via the default FS)
+    assert(FsOps.readString(conf, new Path(d, "_manifest.json")) == "second")
   }
 
   test("scheme-less and file:// spellings of one local path see the same file") {
