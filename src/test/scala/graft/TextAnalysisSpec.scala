@@ -16,6 +16,9 @@ class TextAnalysisSpec extends SparkSpec {
     assert(one("der hund und die katze ist ein tier mit von", TextAnalysis.langId(col("text"))) == "de")
     assert(one("le chat est dans les maisons pour une fete", TextAnalysis.langId(col("text"))) == "fr")
     assert(one("qqq zzz xxx", TextAnalysis.langId(col("text"))) == "und")
+    // documented tie-break: equal marker hits resolve to the EARLIER
+    // language in LangMarkers order (en before es here: 2 hits each)
+    assert(one("the la the la", TextAnalysis.langId(col("text"))) == "en")
   }
 
   test("langId detects CJK-dominant text as zh") {
