@@ -141,6 +141,44 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("excludeSelf=false keeps a same-id corpus neighbor (distinct tables)") {
+    // Documented contract (Similarity.knnImpl): excludeSelf only makes sense
+    // for the self-join case; with DISTINCT query/corpus tables sharing an
+    // id space, pass false or a legitimate neighbor is silently dropped.
+    import spark.implicits._
+    val u = Array.tabulate(8)(i => (i + 1).toFloat)
+    val w = Array.tabulate(8)(i => (8 - i).toFloat)
+    val queries = Seq((5L, u)).toDF("vec_id", "embedding")
+    val corpus = Seq((5L, u), (6L, w)).toDF("vec_id", "embedding")
+    def top1(excludeSelf: Boolean): Long =
+      Similarity.knnBruteForce(queries, corpus, k = 1, excludeSelf = excludeSelf)
+        .collect().head.getLong(1)
+    assert(top1(excludeSelf = true) == 6L, "self-join mode must skip the same id")
+    assert(top1(excludeSelf = false) == 5L,
+      "distinct-tables mode must keep the identical same-id corpus row")
+  }
+
+  test("hot embedding buckets are dropped at maxBucket and counted") {
+    // 10 identical vectors (a boilerplate clique: every band bucket holds all
+    // 10) plus one planted pair on the NEGATED vector — opposite sign under
+    // every hyperplane, so the pair's buckets can never merge with the
+    // clique's. maxBucket=5 must drop every clique bucket (guard, counted by
+    // the lazy thunk) and keep the cold pair; the default cap keeps all 46.
+    import spark.implicits._
+    val v = Array.tabulate(16)(i => (((i * 7 + 3) % 11) - 5).toFloat)
+    val neg = v.map(x => -x)
+    val rows = (0L until 10L).map(i => (i, v)) ++ Seq((100L, neg), (101L, neg))
+    val df = rows.toDF("vec_id", "embedding")
+    val capped = Similarity.AnnConfig(bits = 256, bands = 32, maxBucket = 5)
+    val (coldPairs, dropped) = Similarity.candidatePairs(df, capped)
+    val got = coldPairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((100L, 101L)), s"hot-clique pairs must be dropped, got $got")
+    assert(dropped() >= 1L, "dropped-bucket census must count the hot buckets")
+    val (allPairs, dropped2) = Similarity.candidatePairs(df, Similarity.AnnConfig())
+    assert(allPairs.count() == 45L + 1L, "default cap keeps the full clique")
+    assert(dropped2() == 0L)
+  }
+
   test("band keys are invariant under repartitioning") {
     val (df, _) = plantedDf(nBase = 40, dim = 16)
     import graft.functions.EmbeddingFunctions._
