@@ -580,7 +580,10 @@ object Pipeline {
     def stage(name: String, dropped: Long = 0L)(compute: => DataFrame): DataFrame = {
       io.load(spark, name) match {
         case Some((df, m)) =>
-          metrics += StageMetrics(name, m.snapshotId, -1, m.rowCount, m.rowCount, 0, 0, 0, m.configHash)
+          // rows_in is the PREVIOUS stage's row count even for a loaded
+          // stage — filling it with the stage's own rowCount would make
+          // every resumed stage report selectivity 1.0 in the lineage.
+          metrics += StageMetrics(name, m.snapshotId, -1, prevRows, m.rowCount, 0, 0, 0, m.configHash)
           prevRows = m.rowCount
           df
         case None =>
@@ -623,7 +626,10 @@ object Pipeline {
       case Some(f) =>
         val s = f()
         base.map {
-          case m if m.stage == "st2_candidates" && m.wall_ms > 0 =>
+          // No wall_ms condition: bandStats is Some only when ST2 was
+          // COMPUTED this run (a loaded stage never assigns it), and an
+          // in-memory commit's plan construction can round to 0 ms.
+          case m if m.stage == "st2_candidates" =>
             m.copy(dropped_by_guard = s.droppedBandGroups,
               salted_groups = s.saltedBandGroups, salted_members = s.saltedMembers)
           case m => m

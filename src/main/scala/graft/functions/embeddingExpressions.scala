@@ -15,6 +15,30 @@ import graft.similarity.EmbeddingKernels
   * themselves are JIT-compiled Scala either way).
   */
 
+private[functions] object EmbeddingExprs {
+  /** Null ELEMENTS cannot be rejected at analysis (parquet-read arrays are
+    * always containsNull=true in schema) and `toDoubleArray`/`toFloatArray`
+    * handle them inconsistently by physical layout — UnsafeArrayData reads
+    * a null slot as 0.0 (silently wrong math), GenericArrayData NPEs. This
+    * guard turns both into one loud, described failure; callers skip it
+    * when the child schema proves elements non-null. */
+  def requireNoNullElements(arr: ArrayData, fn: String): Unit = {
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (arr.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"$fn: null array element at index $i (embedding vectors must be dense)")
+      i += 1
+    }
+  }
+
+  def mayHaveNullElements(dt: DataType): Boolean = dt match {
+    case ArrayType(_, containsNull) => containsNull
+    case _                          => true
+  }
+}
+
 /** array<double> x array<double> -> double dot product (tight loop; faster
   * than the builtin `aggregate(zip_with(..))` lambda chain on the kNN
   * hot path, where it runs O(n*k_candidates) times). */
@@ -24,8 +48,14 @@ case class DotProductExpr(left: Expression, right: Expression)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "dot_product"
 
-  def kernel(a: ArrayData, b: ArrayData): Double =
+  private lazy val checkLeft = EmbeddingExprs.mayHaveNullElements(left.dataType)
+  private lazy val checkRight = EmbeddingExprs.mayHaveNullElements(right.dataType)
+
+  def kernel(a: ArrayData, b: ArrayData): Double = {
+    if (checkLeft) EmbeddingExprs.requireNoNullElements(a, prettyName)
+    if (checkRight) EmbeddingExprs.requireNoNullElements(b, prettyName)
     EmbeddingKernels.dot(a.toDoubleArray(), b.toDoubleArray())
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any =
     kernel(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
@@ -63,8 +93,12 @@ case class L2NormalizeExpr(child: Expression)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "l2_normalize"
 
-  def kernel(input: ArrayData): GenericArrayData =
+  private lazy val checkNulls = EmbeddingExprs.mayHaveNullElements(child.dataType)
+
+  def kernel(input: ArrayData): GenericArrayData = {
+    if (checkNulls) EmbeddingExprs.requireNoNullElements(input, prettyName)
     new GenericArrayData(EmbeddingKernels.normalize(input.toFloatArray()))
+  }
 
   override def nullSafeEval(input: Any): Any =
     kernel(input.asInstanceOf[ArrayData])
@@ -108,7 +142,10 @@ case class EmbeddingBandKeysExpr(child: Expression, bits: Int, bands: Int, seed:
   // at worst recomputes an identical tuple.
   @transient @volatile private var cache: (Int, Array[Array[Double]]) = _
 
+  private lazy val checkNulls = EmbeddingExprs.mayHaveNullElements(child.dataType)
+
   def kernel(input: ArrayData): GenericArrayData = {
+    if (checkNulls) EmbeddingExprs.requireNoNullElements(input, prettyName)
     val v = input.toFloatArray()
     var c = cache
     if (c == null || c._1 != v.length) {

@@ -127,10 +127,14 @@ object Multimodal {
         while (y < newHeight) {
           var x = 0
           while (x < newWidth) {
-            val srcX = (x.toLong * m.width / newWidth).toInt
-            val srcY = (y.toLong * m.height / newHeight).toInt
+            val srcX = x.toLong * m.width / newWidth
+            val srcY = y.toLong * m.height / newHeight
+            // Long index: header dims are UNTRUSTED (any positive Int
+            // parses), and srcY * width overflows Int for a crafted
+            // width ~ 2^30 — a negative idx would pass `< body.length`
+            // and throw AIOOBE, breaking the never-throws decode design.
             val idx = srcY * m.width + srcX
-            out(y * newWidth + x) = if (idx < body.length) body(idx) else 0
+            out(y * newWidth + x) = if (idx < body.length) body(idx.toInt) else 0
             x += 1
           }
           y += 1
@@ -149,20 +153,30 @@ object Multimodal {
     import assets.sparkSession.implicits._
     assets.mapPartitions(_.map { a =>
       val m = FakeCodec.decodeMeta(a.asset_id, a.payload)
-      val frameLen = m.width * m.height
+      // Long geometry throughout: header dims are UNTRUSTED, and a crafted
+      // width x height (or n_frames) whose Int product wraps would either
+      // throw (negative array size / negative arraycopy offset) or silently
+      // mis-slice frames. A header whose kept-frames raster cannot exist as
+      // a JVM array is corrupt by construction -> pass through unchanged,
+      // same as every other undecodable payload (never-throws design).
+      val frameLen = m.width.toLong * m.height
       if (m.kind != "video" || frameLen <= 0 || m.n_frames <= 0) a
       else {
         val body = FakeCodec.body(a.payload)
         val kept = (0 until m.n_frames by every).toArray
-        val out = new Array[Byte](kept.length * frameLen)
-        var j = 0
-        while (j < kept.length) {
-          val src = kept(j) * frameLen
-          val n = math.max(0, math.min(frameLen, body.length - src))
-          if (n > 0) System.arraycopy(body, src, out, j * frameLen, n)
-          j += 1
+        if (kept.length * frameLen > Int.MaxValue - 16) a
+        else {
+          val fl = frameLen.toInt
+          val out = new Array[Byte](kept.length * fl)
+          var j = 0
+          while (j < kept.length) {
+            val src = kept(j).toLong * fl
+            val n = math.max(0L, math.min(fl.toLong, body.length - src)).toInt
+            if (n > 0) System.arraycopy(body, src.toInt, out, j * fl, n)
+            j += 1
+          }
+          a.copy(payload = FakeCodec.encode("video", m.width, m.height, kept.length, m.sample_rate, out))
         }
-        a.copy(payload = FakeCodec.encode("video", m.width, m.height, kept.length, m.sample_rate, out))
       }
     })
   }

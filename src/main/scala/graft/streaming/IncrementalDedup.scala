@@ -91,11 +91,12 @@ object IncrementalDedup {
       new String(Files.readAllBytes(Paths.get(dirs.versionFile)),
         java.nio.charset.StandardCharsets.UTF_8)).map(_.group(1).toInt)
 
-  private def writeVersion(dirs: StateDirs, tier: Boolean): Unit = {
+  private def writeVersion(dirs: StateDirs, bandChunks: Int, sigConfig: String): Unit = {
     Files.createDirectories(Paths.get(dirs.root))
     val tmp = Paths.get(dirs.root, s".ver-tmp-${java.util.UUID.randomUUID()}")
     Files.write(tmp,
-      s"""{"version": $StateVersion, "simhash_tier": ${if (tier) 1 else 0}}""".getBytes(
+      (s"""{"version": $StateVersion, "simhash_tier": ${if (bandChunks > 0) 1 else 0}, """ +
+        s""""band_chunks": $bandChunks, "sig_config": "$sigConfig"}""").getBytes(
         java.nio.charset.StandardCharsets.UTF_8))
     Files.move(tmp, Paths.get(dirs.versionFile),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
@@ -105,35 +106,71 @@ object IncrementalDedup {
   private def tierEnabled(cfg: GraftConfig): Boolean =
     cfg.simhashTier && cfg.maxHamming >= 0
 
-  private val TierField = """"simhash_tier"\s*:\s*(\d)""".r
+  /** How many SimHash pigeonhole chunk-key families this config's band
+    * index carries (0 = MinHash-only). The chunk count is maxHamming + 1
+    * (Pipeline.simhashChunkKeys), so a maxHamming change with the tier on
+    * changes every stored chunk key — same rebuild obligation as the
+    * on/off toggle. */
+  private def wantBandChunks(cfg: GraftConfig): Int =
+    if (tierEnabled(cfg)) cfg.maxHamming + 1 else 0
 
-  /** Which key families the durable band index holds, as recorded in the
-    * version file; absent (pre-knob state) means MinHash-only. */
-  private def readTier(dirs: StateDirs): Option[Boolean] =
+  /** The durable-state signature fingerprint: every knob that changes the
+    * MEANING of stored minhash/band_hashes/simhash rows. A restart with a
+    * different value cannot be reconciled with existing signature state —
+    * new band keys would never match stored ones (silent, permanent
+    * cross-batch recall loss) and estimate-tier comparisons would mix
+    * incompatible permutation families — so `ensureStateVersion` refuses
+    * it loudly. Thresholds (minJaccard, maxHamming-as-verify-gate, LCS)
+    * are deliberately NOT in the fingerprint: they gate future decisions,
+    * not the validity of stored rows. */
+  private[streaming] def sigConfigOf(cfg: GraftConfig): String =
+    s"k${cfg.shingleK}|p${cfg.numPerm}|b${cfg.bands}|s${cfg.seed}"
+
+  private val TierField = """"simhash_tier"\s*:\s*(\d)""".r
+  private val BandChunksField = """"band_chunks"\s*:\s*(-?\d+)""".r
+  private val SigConfigField = """"sig_config"\s*:\s*"([^"]*)"""".r
+
+  private def readVersionFile(dirs: StateDirs): Option[String] =
     if (!exists(dirs.versionFile)) None
-    else TierField.findFirstMatchIn(
-      new String(Files.readAllBytes(Paths.get(dirs.versionFile)),
-        java.nio.charset.StandardCharsets.UTF_8)).map(_.group(1) == "1")
+    else Some(new String(Files.readAllBytes(Paths.get(dirs.versionFile)),
+      java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Which chunk-key families the durable band index holds, as recorded in
+    * the version file. Legacy files (pre-field) recorded only the boolean
+    * tier: true maps to -1 ("chunk keys of an UNKNOWN maxHamming" — never
+    * equal to any want, forcing one rebuild that stamps the real count),
+    * false to 0. Absent file (pre-knob state) means MinHash-only. */
+  private def readBandChunks(dirs: StateDirs): Option[Int] =
+    readVersionFile(dirs).flatMap { txt =>
+      BandChunksField.findFirstMatchIn(txt).map(_.group(1).toInt)
+        .orElse(TierField.findFirstMatchIn(txt).map(m => if (m.group(1) == "1") -1 else 0))
+    }
+
+  private def readSigConfig(dirs: StateDirs): Option[String] =
+    readVersionFile(dirs).flatMap(SigConfigField.findFirstMatchIn(_).map(_.group(1)))
 
   /** The durable band index holds the key families of whichever tiers were
-    * enabled when its rows were appended, so a `simhashTier` toggle on
-    * existing state must REBUILD it — otherwise pre-toggle docs silently
-    * lack chunk keys and the cross-batch Hamming recall the knob promises
-    * never materializes (and a toggle OFF would strand chunk keys forever).
-    * The rebuild is a deterministic projection of the signature state
-    * (band_hashes and simhash are both retained per node) — no text is
-    * recomputed — via the same crash-safe swap as every state rewrite. */
-  private def ensureBandIndexTier(spark: SparkSession, cfg: GraftConfig, dirs: StateDirs): Unit = {
-    val want = tierEnabled(cfg)
-    val have = readTier(dirs).getOrElse(false)
+    * enabled when its rows were appended, so a `simhashTier` toggle — or a
+    * `maxHamming` change while the tier is on, which redraws every chunk
+    * boundary — on existing state must REBUILD it: otherwise pre-change
+    * docs silently lack (or carry stale) chunk keys and the cross-batch
+    * Hamming recall the knob promises never materializes (and a toggle OFF
+    * would strand chunk keys forever). The rebuild is a deterministic
+    * projection of the signature state (band_hashes and simhash are both
+    * retained per node) — no text is recomputed — via the same crash-safe
+    * swap as every state rewrite. */
+  private def ensureBandIndex(spark: SparkSession, cfg: GraftConfig, dirs: StateDirs): Unit = {
+    val want = wantBandChunks(cfg)
+    val have = readBandChunks(dirs).getOrElse(0)
     if (have != want) {
       if (exists(dirs.signatures)) {
         val tmp = s"${dirs.bandIndex}.tmp-${java.util.UUID.randomUUID()}"
         Pipeline.bandKeys(spark.read.parquet(dirs.signatures), cfg).write.parquet(tmp)
         swapDir(tmp, dirs.bandIndex)
       }
-      writeVersion(dirs, want)
-    } else if (readTier(dirs).isEmpty) writeVersion(dirs, want) // stamp the field
+      writeVersion(dirs, want, sigConfigOf(cfg))
+    } else if (readBandChunks(dirs).isEmpty || readSigConfig(dirs).isEmpty)
+      writeVersion(dirs, want, sigConfigOf(cfg)) // stamp missing fields
   }
 
   /** Version gate + in-place migration, run once per batch (cheap: a file
@@ -157,9 +194,26 @@ object IncrementalDedup {
       throw new IllegalStateException(
         s"incremental state at ${dirs.root} has an in-progress node-id remap " +
           "(_remap_journal.json) - re-run remapNodeIds with the same mapping to completion first")
+    // Signature-config gate: stored signatures/band keys are only
+    // meaningful under the (shingleK, numPerm, bands, seed) that computed
+    // them. A silent mismatch is the worst failure mode this state has —
+    // new band keys never match stored ones, so every cross-batch
+    // near-duplicate goes undetected with no error. A stamp from an older
+    // library version is absent: trust-on-first-use (stamped below), same
+    // as the pre-knob tier field.
+    readSigConfig(dirs).foreach { stored =>
+      val cur = sigConfigOf(cfg)
+      if (stored != cur)
+        throw new IllegalStateException(
+          s"incremental state at ${dirs.root} was built with signature config " +
+            s"[$stored] but this run uses [$cur] (shingleK|numPerm|bands|seed) - " +
+            "stored signatures and band keys are incompatible with the new config. " +
+            "Revert the config, point at a fresh state root, or rebuild state from " +
+            "the original pages")
+    }
     readVersion(dirs) match {
       case Some(StateVersion) => // current; key-family toggle still possible
-        ensureBandIndexTier(spark, cfg, dirs)
+        ensureBandIndex(spark, cfg, dirs)
       case Some(v) if v > StateVersion =>
         throw new IllegalStateException(
           s"incremental state at ${dirs.root} has schema version $v, newer than " +
@@ -184,9 +238,9 @@ object IncrementalDedup {
           rebuildClusters(spark, cfg, dirs) // v<=2 clusters -> v3 shape
           // pre-knob states hold a MinHash-only band index: stamp that,
           // then let the toggle path rebuild if this config wants more
-          writeVersion(dirs, tier = false)
-          ensureBandIndexTier(spark, cfg, dirs)
-        } else writeVersion(dirs, tierEnabled(cfg)) // fresh state
+          writeVersion(dirs, 0, sigConfigOf(cfg))
+          ensureBandIndex(spark, cfg, dirs)
+        } else writeVersion(dirs, wantBandChunks(cfg), sigConfigOf(cfg)) // fresh state
     }
   }
 
@@ -280,12 +334,14 @@ object IncrementalDedup {
     //  - new-vs-new pairs have BOTH texts in this batch, so they get the
     //    full batch ST3 pass rule (exact shingle Jaccard, SimHash Hamming,
     //    suffix-automaton LCS) — identical semantics to Pipeline.run;
-    //  - cross-batch pairs: with cfg.incRetainTexts ON, stored texts are
-    //    retained in state, so any cross pair whose BOTH texts are on hand
-    //    gets the same full ST3 pass rule — batch-parity semantics; pairs
-    //    with a missing stored text (state predating the toggle, or GC'd
-    //    content) fall back to the signature-estimate tier below. With the
-    //    knob OFF (default), all cross pairs use the estimate tier:
+    //  - cross-batch pairs: any pair whose BOTH texts are on hand gets the
+    //    same full ST3 pass rule — batch-parity semantics. "On hand" always
+    //    includes this batch's own extracted contents (so a RE-PUBLISHED
+    //    known content — the common re-crawl case — verifies exactly, never
+    //    by estimate), and with cfg.incRetainTexts ON additionally the
+    //    stored texts state. Pairs with a text not on hand (knob off and
+    //    the stored endpoint absent from this batch; or state predating
+    //    the toggle / GC'd content) fall back to the estimate tier:
     //    MinHash-estimated Jaccard over the 128-perm signatures OR SimHash
     //    Hamming. Threshold on the estimate is cfg.minJaccard minus 2
     //    sigma (sigma = sqrt(J(1-J)/numPerm)) so planted true pairs still
@@ -299,40 +355,42 @@ object IncrementalDedup {
       .where(col("passed")).select("id_a", "id_b")
       .localCheckpoint(false)
     val retain = cfg.incRetainTexts
+    // Texts ON HAND this batch: every distinct content the batch itself
+    // extracted — INCLUDING re-published contents already in signature
+    // state (a re-crawl puts a known text literally in hand, so a cross
+    // pair touching it deserves the full exact verify, not the permissive
+    // estimate; without this, an avoidable est-only edge diverges from
+    // batch semantics even though both texts are in this very batch) —
+    // plus, with incRetainTexts on, the stored texts table.
     // Scale contract: the stored texts table is the one state dir whose
     // BYTES grow with the live corpus, so it must never be scanned whole
     // per batch — prune it to this batch's cross-pair ENDPOINTS (a
     // node_id-column semi-join; parquet reads only matching text rows)
-    // before any shuffle. Per-batch text I/O is O(cross candidates), not
-    // O(live corpus), preserving the O(batch + affected dup-graph) bound.
-    val textsAll =
-      if (!retain) null
+    // before any shuffle. Per-batch text I/O is O(batch + cross
+    // candidates), not O(live corpus), preserving the
+    // O(batch + affected dup-graph) bound.
+    val textsOnHand =
+      if (!retain) newContents.select("node_id", "text").localCheckpoint(false)
       else {
         val crossIds = crossPairs.select(col("id_a").as("node_id"))
           .union(crossPairs.select(col("id_b").as("node_id"))).distinct()
-        readOrEmpty(spark, dirs.texts, contents.select("node_id", "text"))
+        readOrEmpty(spark, dirs.texts, newContents.select("node_id", "text"))
           .select("node_id", "text")
           .join(crossIds, Seq("node_id"), "left_semi")
-          .unionByName(contents.select("node_id", "text"))
+          .unionByName(newContents.select("node_id", "text"))
           .dropDuplicates("node_id").localCheckpoint(false)
       }
-    val exactCrossPairs =
-      if (!retain) crossPairs.limit(0)
-      else {
-        val have = textsAll.select("node_id")
-        crossPairs
-          .join(have.withColumnRenamed("node_id", "id_a"), Seq("id_a"), "left_semi")
-          .join(have.withColumnRenamed("node_id", "id_b"), Seq("id_b"), "left_semi")
-          .localCheckpoint(false)
-      }
-    val estCrossPairs =
-      if (!retain) crossPairs
-      else crossPairs.join(exactCrossPairs, Seq("id_a", "id_b"), "left_anti")
+    val exactCrossPairs = {
+      val have = textsOnHand.select("node_id")
+      crossPairs
+        .join(have.withColumnRenamed("node_id", "id_a"), Seq("id_a"), "left_semi")
+        .join(have.withColumnRenamed("node_id", "id_b"), Seq("id_b"), "left_semi")
         .localCheckpoint(false)
-    val crossExactVerified =
-      if (!retain) exactCrossPairs // empty, (id_a, id_b)
-      else Pipeline.verifyPairs(exactCrossPairs, textsAll, cfg)
-        .where(col("passed")).select("id_a", "id_b").localCheckpoint(false)
+    }
+    val estCrossPairs = crossPairs.join(exactCrossPairs, Seq("id_a", "id_b"), "left_anti")
+      .localCheckpoint(false)
+    val crossExactVerified = Pipeline.verifyPairs(exactCrossPairs, textsOnHand, cfg)
+      .where(col("passed")).select("id_a", "id_b").localCheckpoint(false)
     // Scale contract (same as dirs.texts above): the stored signature table
     // grows with the live corpus (~1 KB of minhash per row), so prune it to
     // this batch's est-pair ENDPOINTS before the wide joins — per-batch

@@ -480,6 +480,70 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(Set(cl("u://a"), cl("u://z"), cl("u://g")).size == 3)
   }
 
+  test("signature-config change on existing state is refused; thresholds may move") {
+    val root = Files.createTempDirectory("graft-inc-sigcfg").toString
+    val dirs = StateDirs(root)
+    IncrementalDedup.processBatch(df(Seq(page("u://a", baseText))), cfg, dirs, batchId = 1L)
+
+    // a changed seed would make every new band key silently miss the stored
+    // index (permanent cross-batch recall loss) -> refuse loudly
+    val e = intercept[IllegalStateException] {
+      IncrementalDedup.processBatch(df(Seq(page("u://b", nearText))),
+        cfg.copy(seed = 43L), dirs, batchId = 2L)
+    }
+    assert(e.getMessage.contains("signature config"))
+    // a changed permutation count would crash estimateJaccard mid-batch
+    intercept[IllegalStateException] {
+      IncrementalDedup.processBatch(df(Seq(page("u://b", nearText))),
+        cfg.copy(numPerm = 64, bands = 32), dirs, batchId = 2L)
+    }
+    intercept[IllegalStateException] {
+      IncrementalDedup.processBatch(df(Seq(page("u://b", nearText))),
+        cfg.copy(shingleK = 4), dirs, batchId = 2L)
+    }
+    // threshold knobs gate future DECISIONS, not the validity of stored
+    // signatures -> allowed, and the stream keeps working
+    IncrementalDedup.processBatch(df(Seq(page("u://b", nearText))),
+      cfg.copy(minJaccard = 0.75), dirs, batchId = 3L)
+    val c = spark.read.parquet(dirs.clusters).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(c("u://a") == c("u://b"), "stream must keep clustering after a threshold change")
+  }
+
+  test("maxHamming change with the chunk tier on rebuilds the durable band index") {
+    val root = Files.createTempDirectory("graft-inc-chunks").toString
+    val dirs = StateDirs(root)
+    val tierCfg = cfg.copy(simhashTier = true) // maxHamming=3 -> 4 chunks: 36 keys/doc
+    IncrementalDedup.processBatch(df(Seq(page("u://a", baseText))), tierCfg, dirs, batchId = 1L)
+    assert(spark.read.parquet(dirs.bandIndex).count() == 36)
+    // maxHamming 3 -> 1 redraws every chunk boundary (2 chunks): stored
+    // docs' keys must be rebuilt or cross-batch chunk probes silently miss
+    IncrementalDedup.processBatch(df(Seq(page("u://z", otherText))),
+      tierCfg.copy(maxHamming = 1), dirs, batchId = 2L)
+    assert(spark.read.parquet(dirs.bandIndex).count() == 68) // 2 docs x (32+2)
+  }
+
+  test("re-published stored content verifies exactly, never by estimate (retain off)") {
+    val root = Files.createTempDirectory("graft-inc-repub").toString
+    val dirs = StateDirs(root)
+    IncrementalDedup.processBatch(df(Seq(page("u://a", baseText))), cfg, dirs, batchId = 1L)
+    // batch 2 re-publishes the KNOWN content (new url, same text) and adds a
+    // near-dup: the cross pair's both texts are in this very batch, so it
+    // must take the full exact ST3 tier — edges_est_only stays 0 — even
+    // with incRetainTexts off
+    IncrementalDedup.processBatch(
+      df(Seq(page("u://a2", baseText), page("u://b", nearText))), cfg, dirs, batchId = 2L)
+    val m = spark.read.parquet(dirs.metrics)
+      .where(col("batch_id") === 2L).collect()(0)
+    assert(m.getAs[Long]("candidates_cross") >= 1L, "cross pair must be generated")
+    assert(m.getAs[Long]("edges_est_only") == 0L,
+      "re-published content must route to the exact tier, not the estimate")
+    assert(m.getAs[Long]("edges_exact_verified") >= 1L)
+    val c = spark.read.parquet(dirs.clusters).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(c("u://a") == c("u://a2") && c("u://a") == c("u://b"))
+  }
+
   test("v1 state migrates in place; future-versioned state is refused") {
     val root = Files.createTempDirectory("graft-inc6").toString
     val dirs = StateDirs(root)

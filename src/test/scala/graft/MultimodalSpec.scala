@@ -75,6 +75,24 @@ class MultimodalSpec extends SparkSpec {
     assert(body.grouped(4).map(_.head).toSeq == Seq(1.toByte, 3.toByte, 5.toByte))
   }
 
+  test("crafted oversized header dims cannot crash resize or sampleFrames") {
+    import spark.implicits._
+    // Header dims are UNTRUSTED: width ~ 2^30 made srcY * width overflow
+    // Int to a negative index (AIOOBE) before the Long-index fix; a
+    // width x height whose Int product wraps mis-sized frame slices.
+    val hugeImg = Multimodal.Asset(1L, "image",
+      FakeCodec.encode("image", 1 << 30, 8, 1, 0, Array.fill[Byte](64)(7)))
+    val out = Multimodal.resize(Seq(hugeImg).toDS(), 16, 16).collect()(0)
+    val m = FakeCodec.decodeMeta(1L, out.payload)
+    assert(m.width == 16 && m.height == 16) // resized, zero-filled beyond body
+    // video whose kept-frames raster cannot exist as a JVM array: pass
+    // through unchanged (corrupt-by-construction header), never throw
+    val hugeVid = Multimodal.Asset(2L, "video",
+      FakeCodec.encode("video", 1 << 16, 1 << 16, 4, 0, Array.fill[Byte](64)(7)))
+    val out2 = Multimodal.sampleFrames(Seq(hugeVid).toDS(), 2).collect()(0)
+    assert(out2.payload.sameElements(hugeVid.payload))
+  }
+
   test("stages are invariant under partitioning") {
     val assets = Multimodal.assetsFromDocuments(spark, sfDir)
     def run(parts: Int) =

@@ -35,9 +35,17 @@ class ResumeSpec extends SparkSpec {
 
     val io2 = new ParquetSnapshotIO(root, cfg.configHash)
     val r2 = Pipeline.run(spark, pages, cfg, io2)
-    // loaded stages record wall_ms == 0 and rows_in == rows_out
-    assert(r2.metrics.forall(m => m.wall_ms == 0 && m.rows_in == m.rows_out),
+    // loaded stages record wall_ms == 0
+    assert(r2.metrics.forall(_.wall_ms == 0),
       s"stages not loaded: ${r2.metrics.filter(_.wall_ms > 0).map(_.stage)}")
+    // ...and TRUE lineage: rows_in is the previous stage's rows_out even on
+    // resume (a loaded stage must not report selectivity 1.0), identical to
+    // the fresh run's chain
+    assert(r2.metrics.head.rows_in == -1L) // pipeline input count is unmeasured
+    assert(r2.metrics.zip(r2.metrics.drop(1)).forall { case (p, m) => m.rows_in == p.rows_out },
+      s"broken lineage chain: ${r2.metrics.map(m => (m.stage, m.rows_in, m.rows_out))}")
+    assert(r2.metrics.map(m => (m.stage, m.rows_in, m.rows_out)) ==
+      r1.metrics.map(m => (m.stage, m.rows_in, m.rows_out)))
     val rep2 = r2.report.collect().map(_.toString).sorted
     assert(rep1.sameElements(rep2))
   }
@@ -186,8 +194,9 @@ class ResumeSpec extends SparkSpec {
       "manifest not on the filesystem the root URI names")
 
     val r2 = Pipeline.run(spark, pages, cfg, new ParquetSnapshotIO(root, cfg.configHash))
-    assert(r2.metrics.forall(m => m.wall_ms == 0 && m.rows_in == m.rows_out),
+    assert(r2.metrics.forall(_.wall_ms == 0),
       s"stages not resumed under a URI root: ${r2.metrics.filter(_.wall_ms > 0).map(_.stage)}")
+    assert(r2.metrics.zip(r2.metrics.drop(1)).forall { case (p, m) => m.rows_in == p.rows_out })
     assert(rep1.sameElements(r2.report.collect().map(_.toString).sorted))
   }
 

@@ -26,6 +26,34 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(EmbeddingKernels.cosine(Array(1f, 0f), Array(0f, 1f))) < 1e-12)
   }
 
+  test("null array elements fail loudly, not as NPE or silent 0.0") {
+    // Parquet-read arrays are containsNull=true in schema, so null ELEMENTS
+    // can't be rejected at analysis; unguarded, UnsafeArrayData.toDoubleArray
+    // reads a null slot as 0.0 (silently wrong math) while GenericArrayData
+    // NPEs. The expressions must turn both into one described failure.
+    import graft.functions.EmbeddingFunctions
+    val df = spark.range(1).select(
+      array(lit(1.0), lit(null).cast("double")).as("a"),
+      array(lit(1.0), lit(2.0)).as("b"),
+      array(lit(1.0f), lit(null).cast("float")).as("f"))
+    val e1 = intercept[Exception] {
+      df.select(EmbeddingFunctions.dotProduct(col("a"), col("b"))).collect()
+    }
+    assert(e1.getMessage != null && e1.getMessage.contains("null array element"),
+      s"expected described failure, got: $e1")
+    val e2 = intercept[Exception] {
+      df.select(EmbeddingFunctions.l2Normalize(col("f"))).collect()
+    }
+    assert(e2.getMessage.contains("null array element"))
+    val e3 = intercept[Exception] {
+      df.select(EmbeddingFunctions.embeddingBandKeys(col("f"), 16, 4, 7L)).collect()
+    }
+    assert(e3.getMessage.contains("null array element"))
+    // dense vectors still work through the same guard
+    val ok = df.select(EmbeddingFunctions.dotProduct(col("b"), col("b"))).collect()(0).getDouble(0)
+    assert(math.abs(ok - 5.0) < 1e-12)
+  }
+
   test("hyperplanes are deterministic in (dim, bits, seed)") {
     val a = EmbeddingKernels.hyperplanes(8, 16, 7L)
     val b = EmbeddingKernels.hyperplanes(8, 16, 7L)
