@@ -91,6 +91,8 @@ object Main {
       |  [--canonicalize-urls] [--simhash-tier] [--hide-fully-exact]""".stripMargin
 
   def main(argv: Array[String]): Unit = {
+    // Reference parity: structopt prints help and exits 0 (options.rs:19).
+    if (argv.contains("--help") || argv.contains("-h")) { println(usage); return }
     val args = parse(argv.toIndexedSeq)
     val builder = SparkSession.builder().appName("graft-dedup")
     // Under spark-submit, spark.master arrives via system properties and

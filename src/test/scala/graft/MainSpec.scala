@@ -43,6 +43,11 @@ class MainSpec extends SparkSpec {
       Main.parse(Seq("--input", "/in", "--output", "/out", "--bogus"))
   }
 
+  test("--help prints usage and returns without starting a session") {
+    noException should be thrownBy Main.main(Array("--help"))
+    noException should be thrownBy Main.main(Array("-h"))
+  }
+
   test("--table input reads a catalog table and matches the --input run") {
     val dir = Files.createTempDirectory("graft-main-table").toString
     val inPath = s"$dir/pages"
