@@ -47,26 +47,37 @@ object Main {
       checkpoint: Option[String] = None,
       cfg: GraftConfig = GraftConfig())
 
+  /** Raised by [[parse]] when `--help`/`-h` occupies a FLAG position.
+    * Flag position matters: an option VALUE that happens to be "-h"
+    * (e.g. `--exclude -h`, a legal url regex) must stay a value — a
+    * whole-argv scan would silently turn that job into a usage printout. */
+  final class HelpRequested extends RuntimeException("--help")
+
   def parse(argv: Seq[String]): CliArgs = {
     def fail(msg: String): Nothing =
       throw new IllegalArgumentException(s"$msg\n$usage")
+    def int(flag: String, v: String): Int =
+      try v.toInt catch { case _: NumberFormatException => fail(s"$flag expects an integer, got: $v") }
+    def dbl(flag: String, v: String): Double =
+      try v.toDouble catch { case _: NumberFormatException => fail(s"$flag expects a number, got: $v") }
     @annotation.tailrec
     def go(rest: List[String], acc: CliArgs): CliArgs = rest match {
       case Nil => acc
+      case ("--help" | "-h") :: _   => throw new HelpRequested
       case "--input" :: v :: t      => go(t, acc.copy(input = Some(v)))
       case "--table" :: v :: t      => go(t, acc.copy(table = Some(v)))
       case "--output" :: v :: t     => go(t, acc.copy(output = Some(v)))
       case "--checkpoint" :: v :: t => go(t, acc.copy(checkpoint = Some(v)))
-      case "--shingle-k" :: v :: t  => go(t, acc.copy(cfg = acc.cfg.copy(shingleK = v.toInt)))
-      case "--num-perm" :: v :: t   => go(t, acc.copy(cfg = acc.cfg.copy(numPerm = v.toInt)))
-      case "--bands" :: v :: t      => go(t, acc.copy(cfg = acc.cfg.copy(bands = v.toInt)))
-      case "--min-jaccard" :: v :: t => go(t, acc.copy(cfg = acc.cfg.copy(minJaccard = v.toDouble)))
-      case "--max-hamming" :: v :: t => go(t, acc.copy(cfg = acc.cfg.copy(maxHamming = v.toInt)))
-      case "--min-lcs-ratio" :: v :: t => go(t, acc.copy(cfg = acc.cfg.copy(minLcsRatio = v.toDouble)))
-      case "--min-size" :: v :: t   => go(t, acc.copy(cfg = acc.cfg.copy(minLen = v.toInt)))
-      case "--max-size" :: v :: t   => go(t, acc.copy(cfg = acc.cfg.copy(maxLen = v.toInt)))
+      case "--shingle-k" :: v :: t  => go(t, acc.copy(cfg = acc.cfg.copy(shingleK = int("--shingle-k", v))))
+      case "--num-perm" :: v :: t   => go(t, acc.copy(cfg = acc.cfg.copy(numPerm = int("--num-perm", v))))
+      case "--bands" :: v :: t      => go(t, acc.copy(cfg = acc.cfg.copy(bands = int("--bands", v))))
+      case "--min-jaccard" :: v :: t => go(t, acc.copy(cfg = acc.cfg.copy(minJaccard = dbl("--min-jaccard", v))))
+      case "--max-hamming" :: v :: t => go(t, acc.copy(cfg = acc.cfg.copy(maxHamming = int("--max-hamming", v))))
+      case "--min-lcs-ratio" :: v :: t => go(t, acc.copy(cfg = acc.cfg.copy(minLcsRatio = dbl("--min-lcs-ratio", v))))
+      case "--min-size" :: v :: t   => go(t, acc.copy(cfg = acc.cfg.copy(minLen = int("--min-size", v))))
+      case "--max-size" :: v :: t   => go(t, acc.copy(cfg = acc.cfg.copy(maxLen = int("--max-size", v))))
       case "--exclude" :: v :: t    => go(t, acc.copy(cfg = acc.cfg.copy(excludeUrlRegex = Some(v))))
-      case "--max-band-group" :: v :: t => go(t, acc.copy(cfg = acc.cfg.copy(maxBandGroup = v.toInt)))
+      case "--max-band-group" :: v :: t => go(t, acc.copy(cfg = acc.cfg.copy(maxBandGroup = int("--max-band-group", v))))
       case "--canonicalize-urls" :: t => go(t, acc.copy(cfg = acc.cfg.copy(canonicalizeUrls = true)))
       case "--simhash-tier" :: t    => go(t, acc.copy(cfg = acc.cfg.copy(simhashTier = true)))
       // reference --show-fully-hardlinked analog, inverted: fully-exact
@@ -92,8 +103,11 @@ object Main {
 
   def main(argv: Array[String]): Unit = {
     // Reference parity: structopt prints help and exits 0 (options.rs:19).
-    if (argv.contains("--help") || argv.contains("-h")) { println(usage); return }
-    val args = parse(argv.toIndexedSeq)
+    // Parse raises HelpRequested only for -h/--help in FLAG position, so
+    // option values like `--exclude -h` never hijack the run.
+    val args =
+      try parse(argv.toIndexedSeq)
+      catch { case _: HelpRequested => println(usage); return }
     val builder = SparkSession.builder().appName("graft-dedup")
     // Under spark-submit, spark.master arrives via system properties and
     // owns the deployment shape; a bare `runMain` (local smoke) gets a

@@ -93,7 +93,15 @@ object ConnectedComponents {
     var iter = startIter
     var executed = 0
     var converged = false
-    while (!converged && iter < maxIter) {
+    // Resume needs at least ONE verification iteration beyond the committed
+    // k: the converged final commit lands at exactly k == maxIter when the
+    // run used its full bound, and a driver kill between that commit and
+    // run()'s return would otherwise resume straight into the unconverged
+    // throw below despite holding the correct fixpoint. Monotone propagation
+    // makes the extra iteration harmless (a converged state observes 0
+    // changes and exits); a genuinely unconverged resume still throws.
+    val iterBound = if (startIter > 0) math.max(maxIter, startIter + 1) else maxIter
+    while (!converged && iter < iterBound) {
       val msgs = sym.join(labels, sym("src") === labels("id"))
         .select(sym("dst").as("id"), labels("label").as("cand"), lit(false).as("own"))
       val unioned = msgs.union(

@@ -118,9 +118,14 @@ final case class GraftConfig(
   require(numPerm % bands == 0, s"numPerm=$numPerm must be divisible by bands=$bands")
   def rowsPerBand: Int = numPerm / bands
 
-  /** Stable hash of every semantics-affecting knob; stamped into stage
-    * manifests so resume only reuses snapshots computed under the same
-    * config (analog of the reference's schema_version gate, file_db.rs:66-77). */
+  /** Stable hash of EVERY knob — deliberately including performance-only
+    * ones (partition counts, salt thresholds, iteration bounds) — stamped
+    * into stage manifests so resume only reuses snapshots computed under
+    * the same config (analog of the reference's schema_version gate,
+    * file_db.rs:66-77). Conservative by contract (GraftConfigSpec gates
+    * that every field perturbs the hash): misclassifying a knob as perf-only
+    * would silently serve stale snapshots as current results, so a tuning
+    * change costs a recompute instead of carrying that risk. */
   def configHash: String = {
     val repr = productIterator.mkString("|")
     java.lang.Long.toHexString(graft.util.Hashing.hashString(repr, 42L))

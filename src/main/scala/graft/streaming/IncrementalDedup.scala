@@ -563,15 +563,32 @@ object IncrementalDedup {
     * surfaces through its other bands). Only groups beyond
     * hardMaxBandGroup are dropped, mirroring Pipeline.candidatePairs. Both
     * census tables are bounded by the batch's distinct band keys, so the
-    * hot side is broadcast explicitly. */
+    * hot side is broadcast explicitly. The stored view excludes this
+    * batch's own nodes and the census counts distinct members — replay
+    * duplicates (see the append-order contract) must not shift a band
+    * across the salt/drop thresholds. */
   private[graft] def crossBatchCandidates(newBands: DataFrame, storedBands: DataFrame,
       cfg: GraftConfig): DataFrame = {
     val hotCap = if (cfg.saltHotBands) cfg.hardMaxBandGroup.toLong else cfg.maxBandGroup.toLong
     val maxGroup = cfg.maxBandGroup.toLong
+    // Replay hygiene: foreachBatch is at-least-once and band rows land
+    // BEFORE the signature gate, so a crashed prior attempt of THIS batch
+    // may have already appended this batch's own band rows — probing them
+    // would pair nodes against themselves (the batch path's job) and
+    // double-count the census. Drop the batch's own nodes from the stored
+    // view (broadcast anti-join: a map-side filter, the stored scan never
+    // shuffles). Earlier crashed batches can likewise leave historical
+    // duplicate rows in the index until compaction dedups it, so the
+    // census counts DISTINCT stored members — a raw row count would
+    // inflate a band across maxBandGroup (spurious salting, partial
+    // recall) or hardMaxBandGroup (the band silently dropped, and its
+    // cross pairs are never re-probed once both sides hold signatures).
+    val stored = storedBands
+      .join(broadcast(newBands.select("node_id").distinct()), Seq("node_id"), "left_anti")
     // inner join: a cross pair needs >=1 member on EACH side of the key
-    val storedCounts = storedBands
+    val storedCounts = stored
       .join(broadcast(newBands.select("band_key").distinct()), Seq("band_key"), "left_semi")
-      .groupBy("band_key").agg(count(lit(1)).as("stored_n"))
+      .groupBy("band_key").agg(countDistinct(col("node_id")).as("stored_n"))
     val batchCounts = newBands.groupBy("band_key").agg(count(lit(1)).as("batch_n"))
     val hot = storedCounts.join(batchCounts, Seq("band_key"))
       .select(col("band_key"), (col("stored_n") + col("batch_n")).as("count"))
@@ -584,14 +601,14 @@ object IncrementalDedup {
         .where(col("id_a") =!= col("id_b"))
     val coldCross = crossJoinPairs(
       newBands,
-      storedBands.join(broadcast(hot.select("band_key")), Seq("band_key"), "left_anti"),
+      stored.join(broadcast(hot.select("band_key")), Seq("band_key"), "left_anti"),
       Seq("band_key"))
     val saltExpr = pmod(xxhash64(col("node_id"), col("band_key")),
       floor((col("count") + lit(maxGroup - 1)) / lit(maxGroup)).cast("long"))
     val survivingHot = hot.where(col("count") <= hotCap)
     val hotCross = crossJoinPairs(
       newBands.join(broadcast(survivingHot), Seq("band_key")).withColumn("salt", saltExpr),
-      storedBands.join(broadcast(survivingHot), Seq("band_key")).withColumn("salt", saltExpr),
+      stored.join(broadcast(survivingHot), Seq("band_key")).withColumn("salt", saltExpr),
       Seq("band_key", "salt"))
     coldCross.union(hotCross)
   }

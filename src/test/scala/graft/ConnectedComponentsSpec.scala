@@ -126,6 +126,31 @@ class ConnectedComponentsSpec extends SparkSpec {
       s"stale-edge-set label tables not cleared: ${labelDirs().sorted}")
   }
 
+  test("resume from a commit at iter == maxIter verifies instead of failing") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-maxiter").toString
+    // The 0-1-2 chain converges on exactly its 3rd pass (two label moves,
+    // then one zero-change verification), so a maxIter=3 run commits its
+    // final labels AT the bound. Resuming from that store (driver killed
+    // between the commit and run()'s return) must re-verify and return the
+    // fixpoint, not throw "did not converge" at the fully-converged state.
+    val edges = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
+    val expected = Map(0L -> 0L, 1L -> 0L, 2L -> 0L)
+    val first = ConnectedComponents.run(spark, edges, maxIter = 3,
+      localThreshold = 0L, durableDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(first == expected)
+    assert(ConnectedComponents.lastRunIterations == 3,
+      s"fixture drift: expected convergence exactly at the bound, " +
+        s"ran ${ConnectedComponents.lastRunIterations}")
+    val resumed = ConnectedComponents.run(spark, edges, maxIter = 3,
+      localThreshold = 0L, durableDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(resumed == expected)
+    assert(ConnectedComponents.lastRunIterations == 1,
+      s"resume should verify in ONE iteration, ran ${ConnectedComponents.lastRunIterations}")
+  }
+
   test("empty edges yield empty labels") {
     import spark.implicits._
     val got = ConnectedComponents.run(spark,

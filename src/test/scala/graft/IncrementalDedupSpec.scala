@@ -442,6 +442,29 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(got == expected, s"expected salted cells $expected, got $got")
   }
 
+  test("replay duplicates cannot shift a band across the salt/drop thresholds") {
+    val cfgC = cfg.copy(maxBandGroup = 8, hardMaxBandGroup = 10)
+    val key = 77L
+    // True state: 4 distinct stored members. A crashed earlier batch left
+    // every historical row duplicated, and a crashed attempt of THIS batch
+    // already appended its own 3 rows (bands land before the signature
+    // gate in the append-order contract). A raw census would count
+    // 8 + 3 stored rows + 3 batch rows = 14 > hardMaxBandGroup = 10 and
+    // silently drop the band — permanent recall loss, since these nodes
+    // are never re-probed once signatures land. The true combined size is
+    // 4 + 3 = 7 <= maxBandGroup: a plain cold join emitting every cross
+    // pair, with the batch's own replay rows excluded from the stored side.
+    val storedTrue = Seq(1L, 2L, 3L, 4L)
+    val stored = (storedTrue ++ storedTrue ++ Seq(11L, 12L, 13L))
+      .map((_, key)).toDF("node_id", "band_key")
+    val batch = Seq(11L, 12L, 13L).map((_, key)).toDF("node_id", "band_key")
+    val got = IncrementalDedup.crossBatchCandidates(batch, stored, cfgC)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (for { n <- Seq(11L, 12L, 13L); s <- storedTrue }
+      yield (math.min(n, s), math.max(n, s))).toSet
+    assert(got == expected, s"expected the full cold cross product $expected, got $got")
+  }
+
   test("simhashTier chunk keys flow into the durable band index") {
     val root = Files.createTempDirectory("graft-inc-sh").toString
     val dirs = StateDirs(root)

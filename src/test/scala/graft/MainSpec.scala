@@ -48,6 +48,27 @@ class MainSpec extends SparkSpec {
     noException should be thrownBy Main.main(Array("-h"))
   }
 
+  test("-h as an option VALUE stays a value, never a help hijack") {
+    // "-h" is a legal (if odd) url-exclusion regex; a whole-argv help scan
+    // would silently turn this valid job into a usage printout + exit 0.
+    val parsed = Main.parse(Seq("--input", "/in", "--output", "/out", "--exclude", "-h"))
+    parsed.cfg.excludeUrlRegex shouldBe Some("-h")
+    a[Main.HelpRequested] should be thrownBy
+      Main.parse(Seq("--input", "/in", "--help", "--output", "/out"))
+  }
+
+  test("malformed numeric flag values fail with flag name + usage, not a bare NumberFormatException") {
+    val e = intercept[IllegalArgumentException] {
+      Main.parse(Seq("--input", "/in", "--output", "/out", "--shingle-k", "five"))
+    }
+    e.getMessage should include("--shingle-k")
+    e.getMessage should include("usage:")
+    val e2 = intercept[IllegalArgumentException] {
+      Main.parse(Seq("--input", "/in", "--output", "/out", "--min-jaccard", "high"))
+    }
+    e2.getMessage should include("--min-jaccard")
+  }
+
   test("--table input reads a catalog table and matches the --input run") {
     val dir = Files.createTempDirectory("graft-main-table").toString
     val inPath = s"$dir/pages"
