@@ -41,6 +41,13 @@ class MainSpec extends SparkSpec {
       Main.parse(Seq("--input", "/in", "--table", "t", "--output", "/out"))
     an[IllegalArgumentException] should be thrownBy
       Main.parse(Seq("--input", "/in", "--output", "/out", "--bogus"))
+    // A value-taking flag stranded as the LAST arg hits the same loud
+    // fallback (the ::v::t pattern can't match), not a silent drop.
+    val e = intercept[IllegalArgumentException] {
+      Main.parse(Seq("--input", "/in", "--output", "/out", "--exclude"))
+    }
+    e.getMessage should include("--exclude")
+    e.getMessage should include("usage:")
   }
 
   test("--help prints usage and returns without starting a session") {
